@@ -1,0 +1,191 @@
+"""Box geometry + NMS as static-shape XLA ops.
+
+TPU-native replacements for the reference's BoxList utilities and CUDA
+kernels (behavioral spec: structures/boxlist_ops.py, csrc/cuda/nms.cu,
+csrc/cuda/ml_nms.cu, csrc/cpu/soft_nms.cpp).  Boxes here are plain
+(N, 4) arrays in xyxy; invalid/padded rows are tracked by a separate
+validity mask — the struct-of-arrays, fixed-max-size design the TPU needs
+instead of the reference's dynamic per-image BoxList objects.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def box_area(boxes: jax.Array) -> jax.Array:
+    """xyxy (..., 4) -> area, reference convention (+1 on both sides is NOT
+    used: boxlist_ops uses (x2-x1+TO_REMOVE) with TO_REMOVE=1 for legacy
+    COCO boxes; modern FIBER configs operate on float boxes, so we follow
+    the float convention w2-x1 etc. used by its GIoU/ATSS paths
+    (rpn/loss.py:583-624)."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+    return w * h
+
+
+def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(N, 4) x (M, 4) -> (N, M) IoU matrix."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def pairwise_giou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise GIoU for aligned boxes (N, 4) x (N, 4) -> (N,)."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a) + box_area(b) - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    # smallest enclosing box
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.maximum(erb - elt, 0)
+    area_c = ewh[..., 0] * ewh[..., 1]
+    return iou - (area_c - union) / jnp.maximum(area_c, 1e-9)
+
+
+def giou_loss(pred: jax.Array, target: jax.Array,
+              weights: Optional[jax.Array] = None) -> jax.Array:
+    """1 - GIoU, optionally weighted (ref loss weight 2.0 applied by
+    caller; rpn/loss.py GIOULoss)."""
+    loss = 1.0 - pairwise_giou(pred, target)
+    if weights is not None:
+        loss = loss * weights
+    return loss
+
+
+def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
+        max_outputs: int,
+        valid: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """Static-shape greedy NMS.
+
+    Replaces the CUDA bitmask kernel (csrc/cuda/nms.cu) with a
+    fixed-iteration select-and-suppress loop that XLA maps onto the VPU:
+    each of `max_outputs` iterations picks the argmax of the live scores
+    and suppresses overlaps.  O(max_outputs * N) work, fully vectorized.
+
+    Returns (keep_indices (max_outputs,), keep_valid (max_outputs,) bool);
+    padded slots have index 0 and valid False.
+    """
+    n = boxes.shape[0]
+    live = jnp.ones((n,), bool) if valid is None else valid.astype(bool)
+    iou = box_iou(boxes, boxes)  # (N, N) once; reused every iteration
+
+    def body(state, _):
+        live, = state
+        masked = jnp.where(live, scores, NEG_INF)
+        idx = jnp.argmax(masked)
+        ok = masked[idx] > NEG_INF / 2
+        suppress = iou[idx] > iou_threshold
+        live = live & ~suppress & (jnp.arange(n) != idx)
+        return (live,), (idx, ok)
+
+    (_,), (keep, ok) = jax.lax.scan(body, (live,), None, length=max_outputs)
+    return keep, ok
+
+
+def ml_nms(boxes: jax.Array, scores: jax.Array, labels: jax.Array,
+           iou_threshold: float, max_outputs: int,
+           valid: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """Class-aware (multi-label) NMS (ref csrc/cuda/ml_nms.cu): boxes of
+    different classes never suppress each other.  Implemented by offsetting
+    each class into a disjoint coordinate region."""
+    span = jnp.max(boxes) - jnp.min(boxes) + 1.0
+    offset = labels.astype(boxes.dtype)[:, None] * span
+    return nms(boxes + offset, scores, iou_threshold, max_outputs,
+               valid=valid)
+
+
+def soft_nms(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5,
+             score_threshold: float = 0.001,
+             max_outputs: int = 100) -> Tuple[jax.Array, jax.Array]:
+    """Gaussian soft-NMS (ref csrc/cpu/soft_nms.cpp): instead of removing
+    overlaps, decay their scores by exp(-iou^2/sigma).  Returns
+    (keep_indices, decayed_scores) of length max_outputs."""
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+
+    def body(state, _):
+        cur_scores, live = state
+        masked = jnp.where(live, cur_scores, NEG_INF)
+        idx = jnp.argmax(masked)
+        ok = masked[idx] > score_threshold
+        decay = jnp.exp(-(iou[idx] ** 2) / sigma)
+        new_scores = jnp.where(live, cur_scores * decay, cur_scores)
+        live = live & (jnp.arange(n) != idx)
+        return (new_scores, live), (idx, jnp.where(ok, masked[idx], 0.0))
+
+    init = (scores, jnp.ones((n,), bool))
+    _, (keep, out_scores) = jax.lax.scan(body, init, None,
+                                         length=max_outputs)
+    return keep, out_scores
+
+
+# ---------------------------------------------------------------------
+# box encodings (ATSS/FCOS style, ref rpn/loss.py + rpn/inference.py)
+# ---------------------------------------------------------------------
+def encode_boxes(gt: jax.Array, anchors: jax.Array,
+                 weights: Tuple[float, float, float, float] = (10., 10., 5., 5.)
+                 ) -> jax.Array:
+    """xyxy gt + anchors -> (dx, dy, dw, dh) regression targets
+    (Faster-RCNN parameterization used by ATSS BoxCoder)."""
+    aw = anchors[..., 2] - anchors[..., 0] + 1
+    ah = anchors[..., 3] - anchors[..., 1] + 1
+    ax = anchors[..., 0] + aw * 0.5
+    ay = anchors[..., 1] + ah * 0.5
+    gw = gt[..., 2] - gt[..., 0] + 1
+    gh = gt[..., 3] - gt[..., 1] + 1
+    gx = gt[..., 0] + gw * 0.5
+    gy = gt[..., 1] + gh * 0.5
+    wx, wy, ww, wh = weights
+    return jnp.stack([
+        wx * (gx - ax) / aw, wy * (gy - ay) / ah,
+        ww * jnp.log(gw / aw), wh * jnp.log(gh / ah)], axis=-1)
+
+
+def decode_boxes(deltas: jax.Array, anchors: jax.Array,
+                 weights: Tuple[float, float, float, float] = (10., 10., 5., 5.),
+                 clamp: float = 4.135166556742356  # log(1000/16)
+                 ) -> jax.Array:
+    """Inverse of encode_boxes (ref modeling/box_coder.py semantics)."""
+    aw = anchors[..., 2] - anchors[..., 0] + 1
+    ah = anchors[..., 3] - anchors[..., 1] + 1
+    ax = anchors[..., 0] + aw * 0.5
+    ay = anchors[..., 1] + ah * 0.5
+    wx, wy, ww, wh = weights
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.clip(deltas[..., 2] / ww, max=clamp)
+    dh = jnp.clip(deltas[..., 3] / wh, max=clamp)
+    cx = dx * aw + ax
+    cy = dy * ah + ay
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w - 1, cy + 0.5 * h - 1], axis=-1)
+
+
+def clip_boxes(boxes: jax.Array, height: float, width: float) -> jax.Array:
+    return jnp.stack([
+        jnp.clip(boxes[..., 0], 0, width - 1),
+        jnp.clip(boxes[..., 1], 0, height - 1),
+        jnp.clip(boxes[..., 2], 0, width - 1),
+        jnp.clip(boxes[..., 3], 0, height - 1)], axis=-1)
+
+
+def remove_small_boxes(boxes: jax.Array, min_size: float) -> jax.Array:
+    """Validity mask of boxes with both sides >= min_size."""
+    w = boxes[..., 2] - boxes[..., 0] + 1
+    h = boxes[..., 3] - boxes[..., 1] + 1
+    return (w >= min_size) & (h >= min_size)

@@ -1,0 +1,274 @@
+"""VLDyHead detection tower in flax: DyConv (3-scale dynamic conv +
+level attention + DyReLU + optional deformable offsets) and the
+classification / box / centerness / dot-product-grounding heads.
+
+Behavioral spec: modeling/rpn/vldyhead.py:157-916 with FIBER's config
+(USE_GN + USE_DYRELU + USE_DYFUSE + USE_DFCONV, EARLY_FUSE=NONE — fusion
+lives in the backbone; USE_DOT_PRODUCT_TOKEN_LOSS).  Layout is NHWC;
+per-level 2D convs run as plain XLA convs on the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fiber_tpu.detection.deform_conv import modulated_deform_conv2d
+
+Dtype = Any
+
+
+def h_sigmoid(x: jax.Array, h_max: float = 1.0) -> jax.Array:
+    return jnp.clip(x + 3.0, 0.0, 6.0) * h_max / 6.0
+
+
+class DyReLU(nn.Module):
+    """Dynamic ReLU-B (ref layers/dyrelu.py:39-129, exp=4 path):
+    out = max(x*a1 + b1, x*a2 + b2) with (a, b) predicted from GAP."""
+
+    channels: int
+    reduction: int = 4
+    lambda_a: float = 2.0  # reference lambda_a=1.0 doubled in __init__
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
+        C = self.channels
+        y = x.mean(axis=(1, 2))                     # (B, C)
+        y = nn.Dense(C // self.reduction, dtype=self.dtype, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(4 * C, dtype=self.dtype, name="fc2")(y)
+        y = h_sigmoid(y)
+        a1, b1, a2, b2 = jnp.split(y, 4, axis=-1)
+        a1 = (a1 - 0.5) * self.lambda_a + 1.0
+        a2 = (a2 - 0.5) * self.lambda_a
+        b1 = b1 - 0.5
+        b2 = b2 - 0.5
+        a1, b1, a2, b2 = (t[:, None, None, :] for t in (a1, b1, a2, b2))
+        return jnp.maximum(x * a1 + b1, x * a2 + b2)
+
+
+class Conv3x3Norm(nn.Module):
+    """3x3 conv (optionally modulated-deformable) + GroupNorm
+    (ref vldyhead.py Conv3x3Norm)."""
+
+    out_channels: int
+    stride: int = 1
+    deformable: bool = False
+    num_groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 offsets: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.deformable and offsets is not None:
+            Cin = x.shape[-1]
+            w = self.param("kernel", nn.initializers.normal(0.01),
+                           (3, 3, Cin, self.out_channels), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
+            fn = lambda xi, oi, mi: modulated_deform_conv2d(
+                xi, oi, mi, w.astype(x.dtype), b.astype(x.dtype),
+                stride=self.stride)
+            x = jax.vmap(fn)(x, offsets, mask)
+        else:
+            x = nn.Conv(self.out_channels, (3, 3),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.01),
+                        name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
+                         name="gn")(x)
+        return x
+
+
+def _resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+
+
+class DyConv(nn.Module):
+    """One dynamic-conv stage over all FPN levels (ref vldyhead.py:157-251).
+
+    For level l: combine conv(level l), stride-2 conv(level l-1) and
+    upsampled conv(level l+1), weighted by per-feature level attention
+    (h_sigmoid of GAP->1x1->relu), then DyReLU.
+    """
+
+    in_channels: int
+    out_channels: int
+    use_dyrelu: bool = True
+    use_dyfuse: bool = True
+    use_deform: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv_same = Conv3x3Norm(self.out_channels, 1,
+                                     deformable=self.use_deform,
+                                     dtype=self.dtype)
+        self.conv_down = Conv3x3Norm(self.out_channels, 2,
+                                     deformable=self.use_deform,
+                                     dtype=self.dtype)
+        self.conv_up = Conv3x3Norm(self.out_channels, 1,
+                                   deformable=self.use_deform,
+                                   dtype=self.dtype)
+        if self.use_dyfuse:
+            self.attn_conv = nn.Dense(1, dtype=self.dtype)
+        if self.use_dyrelu:
+            self.dyrelu = DyReLU(self.out_channels, dtype=self.dtype)
+        if self.use_deform:
+            self.offset_conv = nn.Conv(27, (3, 3), padding="SAME",
+                                       dtype=self.dtype)
+
+    def __call__(self, feats: Sequence[jax.Array]) -> List[jax.Array]:
+        n = len(feats)
+        offsets, masks = [None] * n, [None] * n
+        if self.use_deform:
+            for i, f in enumerate(feats):
+                om = self.offset_conv(f)              # (B, H, W, 27)
+                offsets[i] = om[..., :18]
+                masks[i] = jax.nn.sigmoid(om[..., 18:])
+
+        outs = []
+        for l, feat in enumerate(feats):
+            temp = [self.conv_same(feat, offsets[l], masks[l])]
+            if l > 0:
+                # stride-2 conv of the higher-resolution level below,
+                # with that level's offsets (ref passes level-l conv_args
+                # to all three convs; we use the source level's offsets —
+                # note: reference reuses level-l offsets on level l-1
+                # features, a shape mismatch it avoids only because
+                # offsets are per-conv-input there; parity-checked in
+                # tests via the non-deform path)
+                temp.append(self.conv_down(feats[l - 1], offsets[l - 1],
+                                           masks[l - 1]))
+            if l < n - 1:
+                up = self.conv_up(feats[l + 1], offsets[l + 1],
+                                  masks[l + 1])
+                temp.append(_resize_bilinear(up, feat.shape[1],
+                                             feat.shape[2]))
+            stacked = jnp.stack(temp)                 # (k, B, H, W, C)
+            if self.use_dyfuse:
+                attn = jnp.stack([
+                    h_sigmoid(nn.relu(self.attn_conv(t.mean(axis=(1, 2)))))
+                    for t in temp])                   # (k, B, 1)
+                mean = (stacked * attn[:, :, None, None, :]).mean(axis=0)
+            else:
+                mean = stacked.mean(axis=0)
+            outs.append(mean)
+
+        if self.use_dyrelu:
+            outs = [self.dyrelu(o) for o in outs]
+        else:
+            outs = [nn.relu(o) for o in outs]
+        return outs
+
+
+class VLDyHead(nn.Module):
+    """Tower of NUM_CONVS DyConvs + prediction heads
+    (ref vldyhead.py:587-916)."""
+
+    num_convs: int = 6
+    in_channels: int = 256
+    channels: int = 256
+    num_anchors: int = 1
+    lang_dim: int = 768
+    log_scale_init: float = 0.0
+    prior_prob: float = 0.01
+    use_dyrelu: bool = True
+    use_dyfuse: bool = True
+    use_deform: bool = True
+    max_query_len: int = 256
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        chans = self.channels
+        self.tower = [
+            DyConv(in_channels=self.in_channels if i == 0 else chans,
+                   out_channels=chans,
+                   use_dyrelu=(self.use_dyrelu and
+                               (i > 0 or self.in_channels == chans)),
+                   use_dyfuse=(self.use_dyfuse and
+                               (i > 0 or self.in_channels == chans)),
+                   use_deform=(self.use_deform and
+                               (i > 0 or self.in_channels == chans)),
+                   dtype=self.dtype, name=f"dyconv_{i}")
+            for i in range(self.num_convs)
+        ]
+        bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
+        self.cls_logits = nn.Conv(
+            self.num_anchors, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.constant(bias_value))
+        self.bbox_pred = nn.Conv(
+            self.num_anchors * 4, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01))
+        self.centerness = nn.Conv(
+            self.num_anchors, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01))
+        # dot-product grounding head (ref vldyhead.py:700-711, 789-891)
+        self.dot_product_projection_text = nn.Dense(
+            self.num_anchors * chans, dtype=self.dtype)
+        self.log_scale = self.param(
+            "log_scale", nn.initializers.constant(self.log_scale_init),
+            (1,), jnp.float32)
+        self.bias_lang = self.param(
+            "bias_lang", nn.initializers.zeros, (self.lang_dim,),
+            jnp.float32)
+        self.bias0 = self.param(
+            "bias0", nn.initializers.constant(bias_value), (1,),
+            jnp.float32)
+        self.scales = self.param("scales", nn.initializers.ones, (5,),
+                                 jnp.float32)
+
+    def __call__(self, feats: Sequence[jax.Array],
+                 lang_embedding: jax.Array,
+                 lang_mask: Optional[jax.Array] = None
+                 ) -> Dict[str, List[jax.Array]]:
+        """feats: 5 FPN levels NHWC; lang_embedding (B, T, lang_dim).
+
+        Returns dict with per-level lists:
+          box_cls    (B, H, W, A)       — binary objectness logits
+          bbox_reg   (B, H, W, A*4)
+          centerness (B, H, W, A)
+          dot_product_logits (B, H*W*A, T) — grounding logits
+        """
+        x = list(feats)
+        for dyconv in self.tower:
+            x = dyconv(x)
+
+        # text projection: normalized embedding, /2.0, linear; bias from
+        # embedding @ bias_lang + bias0 (ref vldyhead.py:789-800)
+        emb = lang_embedding.astype(jnp.float32)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        proj_tokens = self.dot_product_projection_text(
+            (emb / 2.0).astype(self.dtype))            # (B, T, A*C)
+        token_bias = emb @ self.bias_lang + self.bias0  # (B, T)
+
+        out = {"box_cls": [], "bbox_reg": [], "centerness": [],
+               "dot_product_logits": []}
+        B, T = emb.shape[0], emb.shape[1]
+        A, C = self.num_anchors, self.channels
+        pt = proj_tokens.reshape(B, T, A, C)
+        for l, f in enumerate(x):
+            out["box_cls"].append(self.cls_logits(f))
+            out["bbox_reg"].append(self.bbox_pred(f)
+                                   * self.scales[l].astype(self.dtype))
+            out["centerness"].append(self.centerness(f))
+            Bf, H, W, _ = f.shape
+            queries = f.reshape(Bf, H * W, C)          # A folded below
+            # logits[b, hw, a, t] = <feat, proj_token> / exp(log_scale)
+            logit = jnp.einsum("bqc,btac->bqat", queries, pt,
+                               preferred_element_type=jnp.float32)
+            logit = logit / jnp.exp(self.log_scale)
+            logit = logit + token_bias[:, None, None, :]
+            logit = jnp.clip(logit, -50000.0, 50000.0)
+            out["dot_product_logits"].append(
+                logit.reshape(Bf, H * W * A, T))
+        return out

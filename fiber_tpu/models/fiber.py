@@ -1,0 +1,300 @@
+"""FIBER coarse-grained model: Swin-B + RoBERTa with fusion-in-the-backbone.
+
+Behavioral spec: coarse_grained/fiber/modules/fiber_module.py.  The fused
+forward interleaves the top Swin blocks with the top RoBERTa layers
+(fiber_module.py:310-355); ITC towers run each backbone unfused
+(fiber_module.py:249-308); the captioning decoder runs all text layers with
+causal masks and cross-attends to the final Swin features
+(fiber_module.py:369-429).
+
+Everything here is a pure flax module; sharded training state (ITC queue,
+EMA, optimizer) lives outside in fiber_tpu.train.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fiber_tpu.config import FiberConfig
+from fiber_tpu.models import heads
+from fiber_tpu.models.layers import bert_normal_init
+from fiber_tpu.models.roberta import (RobertaEncoderModel,
+                                      causal_attention_mask,
+                                      extended_attention_mask)
+from fiber_tpu.models.swin import SwinTransformer
+
+
+class FiberCoarse(nn.Module):
+    cfg: FiberConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.compute_dtype
+        self.swin = SwinTransformer(
+            image_size=c.image_size, patch_size=c.patch_size,
+            embed_dim=c.swin_embed_dim, depths=c.swin_depths,
+            num_heads=c.swin_num_heads, window_size=c.window_size,
+            mlp_ratio=c.swin_mlp_ratio, drop_path_rate=c.swin_drop_path_rate,
+            num_fuse_block=c.num_fuse_block, dtype=dt, name="vit_model")
+        self.text = RobertaEncoderModel(
+            vocab_size=c.vocab_size, hidden_size=c.text_hidden_size,
+            num_layers=c.num_text_layers, num_heads=c.num_text_heads,
+            intermediate_size=c.text_intermediate_size,
+            max_position_embeddings=c.max_position_embeddings,
+            num_fuse_block=c.num_fuse_block, pad_token_id=c.pad_token_id,
+            attn_drop=c.drop_rate, hidden_drop=c.drop_rate, dtype=dt,
+            name="text_transformer")
+
+        hs = c.hidden_size
+        mk = lambda name: nn.Dense(hs, dtype=dt, kernel_init=bert_normal_init,
+                                   name=name)
+        self.cross_modal_text_transform = mk("cross_modal_text_transform")
+        self.cross_modal_image_transform = mk("cross_modal_image_transform")
+        self.cross_modal_text_transform_itc = mk(
+            "cross_modal_text_transform_itc")
+        self.cross_modal_image_transform_itc = mk(
+            "cross_modal_image_transform_itc")
+
+        self.cross_modal_text_pooler = heads.Pooler(hs, dtype=dt)
+        self.cross_modal_image_pooler = heads.Pooler(hs, dtype=dt)
+        if c.itc_pooler:
+            self.cross_modal_text_pooler_itc = heads.Pooler(hs, dtype=dt)
+            self.cross_modal_image_pooler_itc = heads.Pooler(hs, dtype=dt)
+
+        losses = set(c.loss_names)
+        caption_losses = {"caption_mle", "caption_gold", "caption_cider"}
+        if losses & ({"mlm"} | caption_losses):
+            self.mlm_score = heads.MLMHead(hidden_size=hs,
+                                           vocab_size=c.vocab_size, dtype=dt)
+        if "itm" in losses:
+            self.itm_score = heads.ITMHead(dtype=dt)
+            # rank head reuses the positive-class row of the ITM weights at
+            # conversion time (ref: fiber_module.py:112-114)
+            self.rank_output = nn.Dense(1, dtype=dt,
+                                        kernel_init=bert_normal_init)
+        if "itc" in losses:
+            self.temp = self.param("temp",
+                                   nn.initializers.constant(c.itc_temp_init),
+                                   (), jnp.float32)
+        if "vqa" in losses:
+            self.vqa_classifier = heads.MLPClassifier(
+                hidden_dim=hs * 2, num_classes=c.vqav2_label_size, dtype=dt)
+        if "nlvr2" in losses:
+            self.nlvr2_classifier = heads.MLPClassifier(
+                hidden_dim=hs * 2, num_classes=2, dtype=dt)
+        if losses & caption_losses:
+            # Projections feeding stage-3-dim cross-attention during
+            # captioning; only layers [n_pre, num_layers-2) use them
+            # (ref: fiber_module.py:121-128, 405-414).
+            n_pre = c.num_text_layers - c.num_fuse_block
+            self.caption_image_proj = {
+                str(i): nn.Dense(c.input_image_embed_size // 2, dtype=dt,
+                                 kernel_init=bert_normal_init,
+                                 name=f"caption_image_proj_{i}")
+                for i in range(n_pre, c.num_text_layers - 2)
+            }
+
+    # ------------------------------------------------------------------
+    # ITC towers (unfused single-modality encoders)
+    # ------------------------------------------------------------------
+    def encode_image_itc(self, img: jax.Array, *,
+                         deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Full unfused Swin + ITC transform + pool + normalize
+        (ref: fiber_module.py:278-308)."""
+        c = self.cfg
+        x = self.swin(img, deterministic=deterministic)  # (B, L, 1024) normed
+        x = self.cross_modal_image_transform_itc(x)      # (B, L, hs)
+        avg = jnp.mean(x, axis=1, keepdims=True)         # (B, 1, hs)
+        if c.itc_pooler:
+            cls = self.cross_modal_image_pooler_itc(avg)
+        else:
+            cls = avg[:, 0]
+        cls = cls / jnp.linalg.norm(cls.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(cls.dtype)
+        return {"image_feats": x, "cls_feats": cls}
+
+    def encode_text_itc(self, text_ids: jax.Array, text_masks: jax.Array, *,
+                        deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Unfused 12-layer text encoder + ITC transform + pool + normalize
+        (ref: fiber_module.py:249-276)."""
+        c = self.cfg
+        x = self.text(text_ids, text_masks, deterministic=deterministic)
+        x = self.cross_modal_text_transform_itc(x)
+        if c.itc_pooler:
+            cls = self.cross_modal_text_pooler_itc(x)
+        else:
+            cls = x[:, 0]
+        cls = cls / jnp.linalg.norm(cls.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(cls.dtype)
+        return {"text_feats": x, "cls_feats": cls}
+
+    # ------------------------------------------------------------------
+    # Fused forward (the hot path)
+    # ------------------------------------------------------------------
+    def infer(self, img: jax.Array, text_ids: jax.Array,
+              text_masks: jax.Array, *,
+              deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Interleaved fusion forward (ref: fiber_module.py:310-367).
+
+        img: (B, S, S, 3) NHWC.  Returns text_feats (B, Lt, hs),
+        image_feats (B, Li, hs), cls_feats (B, 2*hs).
+        """
+        c = self.cfg
+        dt = c.compute_dtype
+
+        x = self.swin.embed(img, deterministic=deterministic)
+        for s in range(2):
+            x = self.swin.stages[s](x, deterministic=deterministic)
+
+        text = self.text.embeddings(text_ids, deterministic=deterministic)
+        ext_mask = extended_attention_mask(text_masks, dt)
+        text_bias = ((1.0 - text_masks.astype(jnp.float32)) * -10000.0
+                     ).astype(dt)  # (B, Lt) additive for i2t attention
+
+        n_pre_text = c.num_text_layers - c.num_fuse_block
+        for i in range(n_pre_text):
+            text = self.text.layers[i](text, attn_mask=ext_mask,
+                                       deterministic=deterministic)
+
+        stage3 = self.swin.stages[2]
+        n_tail = c.num_fuse_block - c.swin_depths[3]
+        n_pre_block = c.swin_depths[2] - n_tail
+        for bi, blk in enumerate(stage3.blocks):
+            if bi < n_pre_block:
+                x = blk(x, deterministic=deterministic)
+            else:
+                B, H, W, C3 = x.shape
+                img_tokens = x.reshape(B, H * W, C3)
+                fused_x = blk(x, text=text, text_bias=text_bias,
+                              deterministic=deterministic)
+                text = self.text.layers[n_pre_text + (bi - n_pre_block)](
+                    text, attn_mask=ext_mask, image_feats=img_tokens,
+                    deterministic=deterministic)
+                x = fused_x
+        x = stage3.downsample(x)
+
+        stage4 = self.swin.stages[3]
+        for bi, blk in enumerate(stage4.blocks):
+            B, H, W, C4 = x.shape
+            img_tokens = x.reshape(B, H * W, C4)
+            fused_x = blk(x, text=text, text_bias=text_bias,
+                          deterministic=deterministic)
+            # last_norm deferred on the final text layer
+            # (ref: fiber_module.py:339-344, last_norm=(blk_cnt == 0))
+            text = self.text.layers[n_pre_text + n_tail + bi](
+                text, attn_mask=ext_mask, image_feats=img_tokens,
+                last_norm=(bi == 0), deterministic=deterministic)
+            x = fused_x
+
+        B, H, W, C4 = x.shape
+        image_feats = self.cross_modal_image_transform(
+            x.reshape(B, H * W, C4))
+        text_feats = self.cross_modal_text_transform(text)
+
+        cls_text = self.cross_modal_text_pooler(text_feats)
+        avg_image = jnp.mean(image_feats, axis=1, keepdims=True)
+        cls_image = self.cross_modal_image_pooler(avg_image)
+        cls_feats = jnp.concatenate([cls_text, cls_image], axis=-1)
+
+        return {"text_feats": text_feats, "image_feats": image_feats,
+                "cls_feats": cls_feats}
+
+    # ------------------------------------------------------------------
+    # Captioning decoder forward
+    # ------------------------------------------------------------------
+    def encode_image_caption(self, img: jax.Array, *,
+                             deterministic: bool = True) -> jax.Array:
+        """Unfused Swin features for captioning — note: NOT final-normed
+        (ref: fiber_module.py:388-393 skips vit_model.norm)."""
+        x = self.swin.embed(img, deterministic=deterministic)
+        for stage in self.swin.stages:
+            x = stage(x, deterministic=deterministic)
+        B, H, W, C = x.shape
+        return x.reshape(B, H * W, C)
+
+    def infer_caption(self, text_ids: jax.Array, text_masks: jax.Array,
+                      image_embeds: jax.Array, *,
+                      deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Causal text decoder over image features
+        (ref: fiber_module.py:369-429)."""
+        c = self.cfg
+        dt = c.compute_dtype
+        text = self.text.embeddings(text_ids, deterministic=deterministic)
+        mask = causal_attention_mask(text_masks, dt)
+        n_pre = c.num_text_layers - c.num_fuse_block
+        for i, layer in enumerate(self.text.layers):
+            if i < n_pre:
+                text = layer(text, attn_mask=mask,
+                             deterministic=deterministic)
+            elif i < c.num_text_layers - 2:
+                proj = self.caption_image_proj[str(i)](image_embeds)
+                text = layer(text, attn_mask=mask, image_feats=proj,
+                             deterministic=deterministic)
+            else:
+                text = layer(text, attn_mask=mask, image_feats=image_embeds,
+                             deterministic=deterministic)
+        text_feats = self.cross_modal_text_transform(text)
+        cls_feats = self.cross_modal_text_pooler(text_feats)
+        return {"text_feats": text_feats, "cls_feats": cls_feats}
+
+    # ------------------------------------------------------------------
+    # Heads
+    # ------------------------------------------------------------------
+    def mlm_logits(self, text_feats: jax.Array) -> jax.Array:
+        return self.mlm_score(text_feats)
+
+    def itm_logits(self, cls_feats: jax.Array) -> jax.Array:
+        return self.itm_score(cls_feats)
+
+    def rank_scores(self, cls_feats: jax.Array) -> jax.Array:
+        return self.rank_output(cls_feats)
+
+    def vqa_logits(self, cls_feats: jax.Array) -> jax.Array:
+        return self.vqa_classifier(cls_feats)
+
+    def nlvr2_logits(self, cls_feats_pair: jax.Array) -> jax.Array:
+        return self.nlvr2_classifier(cls_feats_pair)
+
+    def itc_temperature(self) -> jax.Array:
+        # clamped as in the reference objective (objectives.py:123)
+        return jnp.clip(self.temp, 0.001, 1.0)
+
+    # Convenience full pretraining forward used by the graft entry:
+    def __call__(self, img: jax.Array, text_ids: jax.Array,
+                 text_masks: jax.Array, *, deterministic: bool = True):
+        out = self.infer(img, text_ids, text_masks,
+                         deterministic=deterministic)
+        logits = {}
+        if "itm" in self.cfg.loss_names:
+            logits["itm"] = self.itm_logits(out["cls_feats"])
+        if "mlm" in self.cfg.loss_names:
+            logits["mlm"] = self.mlm_logits(out["text_feats"])
+        return {**out, **logits}
+
+    def init_full(self, img: jax.Array, text_ids: jax.Array,
+                  text_masks: jax.Array):
+        """Initialization-only forward touching every parameterized path
+        (flax materializes params lazily per-method; init must visit all)."""
+        losses = set(self.cfg.loss_names)
+        caption_losses = {"caption_mle", "caption_gold", "caption_cider"}
+        out = self.infer(img, text_ids, text_masks)
+        self.encode_image_itc(img)
+        self.encode_text_itc(text_ids, text_masks)
+        if "itm" in losses:
+            self.itm_logits(out["cls_feats"])
+            self.rank_scores(out["cls_feats"])
+        if losses & ({"mlm"} | caption_losses):
+            self.mlm_logits(out["text_feats"])
+        if "vqa" in losses:
+            self.vqa_logits(out["cls_feats"])
+        if "nlvr2" in losses:
+            self.nlvr2_logits(jnp.concatenate(
+                [out["cls_feats"], out["cls_feats"]], axis=-1))
+        if losses & caption_losses:
+            img_emb = self.encode_image_caption(img)
+            self.infer_caption(text_ids, text_masks, img_emb)
+        return out

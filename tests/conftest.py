@@ -1,0 +1,42 @@
+"""Test config: force a pure-CPU 8-device virtual mesh.
+
+The harness boots every interpreter with an `axon` (tunneled-TPU) PJRT
+plugin via PYTHONPATH sitecustomize which force-selects the TPU backend
+(jax_platforms="axon,cpu").  Tests must never touch the tunnel: we override
+jax_platforms to "cpu" *before any backend client is created*, and expose
+8 virtual CPU devices for multi-chip sharding tests (SURVEY.md §4).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize sets jax_platforms="axon,cpu" programmatically,
+# overriding the env var — override it back before first use.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU, got " + str(jax.devices()[:2]))
+
+import pytest  # noqa: E402
+
+from fiber_tpu.config import FiberConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    return FiberConfig.tiny_test()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,74 @@
+"""End-to-end train-step tests, single-device and on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiber_tpu.config import FiberConfig
+from fiber_tpu.parallel.mesh import create_mesh
+from fiber_tpu.train.optim import param_group, summarize_groups
+from fiber_tpu.train.trainer import CoarseTrainer
+
+
+def _make_batch(cfg, B, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    img = jax.random.normal(rng, (B, cfg.image_size, cfg.image_size, 3))
+    ids = jnp.full((B, cfg.max_text_len), 3, dtype=jnp.int32)
+    mask = jnp.ones((B, cfg.max_text_len), dtype=jnp.int32)
+    return {
+        "image": img, "text_ids": ids, "text_masks": mask,
+        "text_ids_mlm": ids,
+        "text_labels_mlm": jnp.full_like(ids, -100).at[:, 1].set(5),
+    }
+
+
+def test_param_groups():
+    path = lambda s: tuple(type("K", (), {"key": p})() for p in s.split("/"))
+    assert param_group(path("vit_model/layers_0/blocks_0/attn/qkv/kernel"),
+                       None) == "base_decay"
+    assert param_group(path("vit_model/layers_0/blocks_0/norm1/scale"),
+                       None) == "base_nodecay"
+    assert param_group(path("vit_model/layers_3/blocks_0/attn/qkv_i2t/"
+                            "kernel"), None) == "cross_decay"
+    assert param_group(path("text_transformer/layer_7/crossattention_t2i/"
+                            "query/bias"), None) == "cross_nodecay"
+    assert param_group(path("mlm_score/decoder/kernel"), None) == "head_decay"
+    assert param_group(path("cross_modal_text_transform/kernel"),
+                       None) == "cross_decay"
+    assert param_group(path("temp"), None) == "base_decay"
+
+
+def test_train_step_runs_and_descends():
+    cfg = FiberConfig.tiny_test(loss_names=("itm", "mlm", "itc"))
+    trainer = CoarseTrainer(cfg, mesh=create_mesh())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.shard_state(state)
+    batch = trainer.shard_batch(_make_batch(cfg, 8))
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, batch, sub)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+    # same batch repeatedly -> loss must drop
+    assert losses[-1] < losses[0], losses
+    # queue advanced 3 global batches
+    assert int(state.queue.total) == 24
+
+
+def test_train_step_multidevice_matches_queue_semantics():
+    """On an 8-device mesh, the queue must receive the *global* batch."""
+    assert jax.device_count() >= 8, "conftest must set 8 CPU devices"
+    cfg = FiberConfig.tiny_test(loss_names=("itc",))
+    trainer = CoarseTrainer(cfg, mesh=create_mesh(jax.devices()[:8]))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.shard_state(state)
+    batch = trainer.shard_batch(_make_batch(cfg, 8))
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert jnp.isfinite(metrics["itc_loss"])
+    assert int(state.queue.total) == 8
+    assert int(state.queue.ptr) == 8 % cfg.itc_queue_size
