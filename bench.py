@@ -29,7 +29,8 @@ def main():
 
     platform = jax.devices()[0].platform
     B = 32 if platform == "tpu" else 2
-    steps = 20 if platform == "tpu" else 2
+    import os as _os
+    steps = int(_os.environ.get("FIBER_BENCH_STEPS", 20 if platform == "tpu" else 2))
 
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
                            swin_drop_path_rate=0.0)
