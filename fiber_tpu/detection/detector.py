@@ -1,0 +1,136 @@
+"""Grounding detector meta-architecture (GeneralizedVLRCNN equivalent).
+
+Behavioral spec: modeling/detector/generalized_vl_rcnn.py:64-404 with
+FIBER's fusion config: captions are tokenized host-side (the reference
+tokenizes inside forward, :268-275 — host work that doesn't belong in the
+jit program), the fused backbone produces FPN features + language dict,
+VLDyHead produces per-level predictions, and ATSS loss / postprocessor
+consume them.  RPN_ONLY=True (no ROI heads) matches every FIBER config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fiber_tpu.detection.anchors import fpn_anchors
+from fiber_tpu.detection.atss_loss import atss_grounding_loss
+from fiber_tpu.detection.dyhead import VLDyHead
+from fiber_tpu.detection.fusion_backbone import FusionSwinFPN
+from fiber_tpu.detection.postprocess import Detections, atss_postprocess
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    # static padded image size (H, W); reference pads dynamically to
+    # SIZE_DIVISIBILITY=32 — TPU buckets to a fixed size instead
+    image_size: Tuple[int, int] = (1344, 1344)
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    drop_path_rate: float = 0.0
+    num_fuse_block: int = 6
+    out_channels: int = 256
+    num_dyhead_convs: int = 6
+    max_query_len: int = 256
+    vocab_size: int = 50265
+    lang_dim: int = 768
+    num_text_heads: int = 12
+    anchor_sizes: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    anchor_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    use_dyrelu: bool = True
+    use_dyfuse: bool = True
+    use_deform: bool = True
+    atss_topk: int = 9
+    reg_loss_weight: float = 2.0
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny_test(cls, **kw) -> "DetectorConfig":
+        d = dict(image_size=(64, 64), embed_dim=16, depths=(1, 1, 3, 2),
+                 num_heads=(2, 2, 2, 2), window_size=2, num_fuse_block=4,
+                 out_channels=16, num_dyhead_convs=2, max_query_len=16,
+                 vocab_size=99, lang_dim=32, num_text_heads=2,
+                 anchor_sizes=(16, 32, 64, 128, 256),
+                 use_deform=False)
+        d.update(kw)
+        return cls(**d)
+
+    def feat_sizes(self) -> List[Tuple[int, int]]:
+        H, W = self.image_size
+        return [(-(-H // s), -(-W // s)) for s in self.anchor_strides]
+
+
+class GroundingDetector(nn.Module):
+    cfg: DetectorConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = FusionSwinFPN(
+            image_size=c.image_size, patch_size=c.patch_size,
+            embed_dim=c.embed_dim, depths=c.depths, num_heads=c.num_heads,
+            window_size=c.window_size, drop_path_rate=c.drop_path_rate,
+            num_fuse_block=c.num_fuse_block, out_channels=c.out_channels,
+            vocab_size=c.vocab_size, lang_dim=c.lang_dim,
+            num_text_heads=c.num_text_heads,
+            max_query_len=c.max_query_len, dtype=c.compute_dtype)
+        self.rpn = VLDyHead(
+            num_convs=c.num_dyhead_convs, in_channels=c.out_channels,
+            channels=c.out_channels, lang_dim=c.lang_dim,
+            use_dyrelu=c.use_dyrelu, use_dyfuse=c.use_dyfuse,
+            use_deform=c.use_deform, max_query_len=c.max_query_len,
+            dtype=c.compute_dtype)
+
+    def __call__(self, images: jax.Array, input_ids: jax.Array,
+                 attention_mask: jax.Array, *,
+                 deterministic: bool = True) -> Dict[str, Any]:
+        feats, lang = self.backbone(images, input_ids, attention_mask,
+                                    deterministic=deterministic)
+        head_out = self.rpn(feats, lang["embedded"],
+                            lang_mask=attention_mask)
+        return {"head_out": head_out, "lang": lang}
+
+
+def detector_anchors(cfg: DetectorConfig):
+    """(concat anchors (N,4) jnp, per-level sizes, per-level arrays)."""
+    per_level = fpn_anchors(cfg.feat_sizes(), strides=cfg.anchor_strides,
+                            sizes=cfg.anchor_sizes)
+    sizes = tuple(a.shape[0] for a in per_level)
+    cat = jnp.asarray(np.concatenate(per_level, axis=0))
+    return cat, sizes, [jnp.asarray(a) for a in per_level]
+
+
+def detection_loss(model: GroundingDetector, variables, batch, *,
+                   rngs=None, train: bool = True) -> Dict[str, jax.Array]:
+    """batch: images (B,H,W,3), input_ids/attention_mask (B,T),
+    gt_boxes (B,G,4), gt_valid (B,G), positive_map (B,G,T)."""
+    cfg = model.cfg
+    out = model.apply(variables, batch["images"], batch["input_ids"],
+                      batch["attention_mask"], deterministic=not train,
+                      rngs=rngs)
+    anchors, level_sizes, _ = detector_anchors(cfg)
+    losses = atss_grounding_loss(
+        out["head_out"], anchors, level_sizes, batch["gt_boxes"],
+        batch["gt_valid"], batch["positive_map"], batch["attention_mask"],
+        reg_loss_weight=cfg.reg_loss_weight, topk=cfg.atss_topk)
+    losses["total_loss"] = sum(losses.values())
+    return losses
+
+
+def detection_inference(model: GroundingDetector, variables, batch,
+                        agg_matrix: jax.Array, **pp_kwargs) -> Detections:
+    cfg = model.cfg
+    out = model.apply(variables, batch["images"], batch["input_ids"],
+                      batch["attention_mask"], deterministic=True)
+    _, _, per_level = detector_anchors(cfg)
+    return atss_postprocess(out["head_out"], per_level, agg_matrix,
+                            batch["image_sizes"], **pp_kwargs)

@@ -136,20 +136,23 @@ class DyConv(nn.Module):
 
         outs = []
         for l, feat in enumerate(feats):
+            # The reference computes conv_args (offset/mask) once per level
+            # from `feature` and passes them to all three convs
+            # (vldyhead.py:215-228): the stride-2 conv over level l-1
+            # lands exactly on level-l resolution; the stride-1 conv over
+            # level l+1 reads the top-left sub-region of the level-l
+            # offset map (the CUDA kernel indexes offsets by output pixel).
             temp = [self.conv_same(feat, offsets[l], masks[l])]
             if l > 0:
-                # stride-2 conv of the higher-resolution level below,
-                # with that level's offsets (ref passes level-l conv_args
-                # to all three convs; we use the source level's offsets —
-                # note: reference reuses level-l offsets on level l-1
-                # features, a shape mismatch it avoids only because
-                # offsets are per-conv-input there; parity-checked in
-                # tests via the non-deform path)
-                temp.append(self.conv_down(feats[l - 1], offsets[l - 1],
-                                           masks[l - 1]))
+                temp.append(self.conv_down(feats[l - 1], offsets[l],
+                                           masks[l]))
             if l < n - 1:
-                up = self.conv_up(feats[l + 1], offsets[l + 1],
-                                  masks[l + 1])
+                hu, wu = feats[l + 1].shape[1], feats[l + 1].shape[2]
+                off_u = (offsets[l][:, :hu, :wu]
+                         if offsets[l] is not None else None)
+                msk_u = (masks[l][:, :hu, :wu]
+                         if masks[l] is not None else None)
+                up = self.conv_up(feats[l + 1], off_u, msk_u)
                 temp.append(_resize_bilinear(up, feat.shape[1],
                                              feat.shape[2]))
             stacked = jnp.stack(temp)                 # (k, B, H, W, C)

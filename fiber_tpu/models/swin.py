@@ -216,15 +216,23 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fuse_text: bool = False
+    # Detection-flavor blocks keep the configured window and statically pad
+    # feature maps to window multiples instead of clamping the window
+    # (ref: fusion_swin_transformer_v2.py:293-340).
+    pad_to_window: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         H, W = self.input_resolution
         window, shift = self.window_size, self.shift_size
-        # If the window is larger than the feature map, use one global window
-        # and no shift (ref: swin_transformer.py:304-307).
-        if min(H, W) <= window:
-            window, shift = min(H, W), 0
+        if self.pad_to_window:
+            if min(H, W) <= window and max(H, W) <= window:
+                shift = 0  # single padded window: shift is a no-op
+        else:
+            # Coarse flavor: window larger than the map -> one global
+            # window, no shift (ref: swin_transformer.py:304-307).
+            if min(H, W) <= window:
+                window, shift = min(H, W), 0
         self.window, self.shift = window, shift
 
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -248,9 +256,16 @@ class SwinBlock(nn.Module):
         shortcut = x
         x = self.norm1(x)
 
+        # static pad to window multiples (detection flavor; no-op when the
+        # resolution already divides the window)
+        Hp = -(-H // self.window) * self.window
+        Wp = -(-W // self.window) * self.window
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
         if self.shift > 0:
             x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(H, W, self.window,
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, self.window,
                                                    self.shift))
         else:
             mask = None
@@ -258,10 +273,13 @@ class SwinBlock(nn.Module):
         xw = window_partition(x, self.window)  # (B, nW, N, C)
         xw = self.attn(xw, shift_mask=mask, text=text, text_bias=text_bias,
                        deterministic=deterministic)
-        x = window_reverse(xw, self.window, H, W)
+        x = window_reverse(xw, self.window, Hp, Wp)
 
         if self.shift > 0:
             x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+
+        if (Hp, Wp) != (H, W):
+            x = x[:, :H, :W]
 
         x = shortcut + self.drop_path_mod(x, deterministic=deterministic)
         x = x + self.drop_path_mod(self.mlp(self.norm2(x),
@@ -305,6 +323,7 @@ class SwinStage(nn.Module):
     has_downsample: bool
     # per-block fusion flags
     fuse_flags: Tuple[bool, ...] = ()
+    pad_to_window: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -316,7 +335,8 @@ class SwinStage(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
-                fuse_text=fuse[i], dtype=self.dtype, name=f"blocks_{i}")
+                fuse_text=fuse[i], pad_to_window=self.pad_to_window,
+                dtype=self.dtype, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.downsample = (PatchMerging(dim=self.dim, dtype=self.dtype,
