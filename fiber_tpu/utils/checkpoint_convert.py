@@ -326,14 +326,20 @@ def load_fiber_checkpoint(path: str, resolution_before: int = 384,
     return convert_fiber_state_dict(sd, resolution_before, resolution_after)
 
 
-def merge_into(params, converted) -> Any:
-    """Overlay converted weights onto an init param tree (shape-checked)."""
-    flat_init = jax.tree_util.tree_flatten_with_path(params)[0]
+def merge_into(params, converted,
+               skippable: Tuple[str, ...] = ("alpha_t2i",)) -> Any:
+    """Overlay converted weights onto an init param tree (shape-checked).
+
+    Keys in `skippable` may be absent from the model (e.g. the reference
+    declares alpha_t2i on every RobertaLayer but only fused layers use it,
+    roberta.py:440; our model only creates the live ones)."""
     out = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
 
     def overlay(dst, src, path=""):
         for k, v in src.items():
             if k not in dst:
+                if any(s in f"{path}/{k}" for s in skippable):
+                    continue
                 raise KeyError(f"{path}/{k} not in model params")
             if isinstance(v, dict):
                 overlay(dst[k], v, f"{path}/{k}")
