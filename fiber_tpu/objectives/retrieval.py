@@ -1,0 +1,151 @@
+"""Image-text retrieval evaluation: ITC ranking + ITM reranking.
+
+Behavioral spec: objectives.py:265-499 (compute_itc_recall /
+compute_itm_recall).  The reference distributes images over DDP ranks with
+pickled gloo gathers and reranks with per-pair forwards at batch 10; here
+scoring is batched jit compute over device-sharded arrays, and the ITM
+rerank runs the fused encoder on (image, text) pairs packed into large
+batches — the headline throughput path (BASELINE.json north star).
+
+The rerank depth is configurable: `rerank_topk=None` reranks every text
+per image like the reference (O(Ni*Nt) fused forwards); the usual
+practical setting reranks the ITC top-k only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fiber_tpu.models.fiber import FiberCoarse
+
+
+def encode_corpus(model: FiberCoarse, variables,
+                  images: np.ndarray, text_ids: np.ndarray,
+                  text_masks: np.ndarray,
+                  batch_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Unfused tower embeddings for all images / texts (normalized)."""
+
+    @jax.jit
+    def img_fn(v, x):
+        return model.apply(v, x, method=FiberCoarse.encode_image_itc
+                           )["cls_feats"]
+
+    @jax.jit
+    def txt_fn(v, ids, msk):
+        return model.apply(v, ids, msk,
+                           method=FiberCoarse.encode_text_itc)["cls_feats"]
+
+    def run(fn, *arrays):
+        n = arrays[0].shape[0]
+        outs = []
+        for i in range(0, n, batch_size):
+            chunk = [jnp.asarray(a[i:i + batch_size]) for a in arrays]
+            # pad the tail chunk to the static batch size
+            pad = batch_size - chunk[0].shape[0]
+            if pad:
+                chunk = [jnp.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1))
+                         for c in chunk]
+            out = fn(variables, *chunk)
+            outs.append(np.asarray(out[:arrays[0][i:i + batch_size].shape[0]]))
+        return np.concatenate(outs, axis=0)
+
+    img_emb = run(img_fn, images)
+    txt_emb = run(txt_fn, text_ids, text_masks)
+    return img_emb, txt_emb
+
+
+def itc_score_matrix(img_emb: np.ndarray, txt_emb: np.ndarray
+                     ) -> np.ndarray:
+    """(Ni, Nt) cosine scores (embeddings already normalized)."""
+    return img_emb @ txt_emb.T
+
+
+def itm_rerank_matrix(model: FiberCoarse, variables,
+                      images: np.ndarray, text_ids: np.ndarray,
+                      text_masks: np.ndarray, itc_i2t: np.ndarray,
+                      rerank_topk: Optional[int] = 32,
+                      pair_batch: int = 64) -> np.ndarray:
+    """Rerank: fused forward + rank head on (image, text) candidate pairs
+    (ref objectives.py:388-499 runs every pair; rerank_topk bounds it).
+
+    Returns (Ni, Nt) matrix of rank scores at the evaluated pairs and
+    -inf elsewhere.
+    """
+    Ni, Nt = itc_i2t.shape
+    k = Nt if rerank_topk is None else min(rerank_topk, Nt)
+    top_txt = np.argsort(-itc_i2t, axis=1)[:, :k]        # (Ni, k)
+
+    pair_img = np.repeat(np.arange(Ni), k)
+    pair_txt = top_txt.reshape(-1)
+
+    @jax.jit
+    def rank_fn(v, img, ids, msk):
+        out = model.apply(v, img, ids, msk, method=FiberCoarse.infer)
+        return model.apply(v, out["cls_feats"],
+                           method=FiberCoarse.rank_scores)[:, 0]
+
+    scores = np.full((Ni, Nt), -np.inf, np.float32)
+    n_pairs = len(pair_img)
+    for i in range(0, n_pairs, pair_batch):
+        bi = pair_img[i:i + pair_batch]
+        bt = pair_txt[i:i + pair_batch]
+        img = jnp.asarray(images[bi])
+        ids = jnp.asarray(text_ids[bt])
+        msk = jnp.asarray(text_masks[bt])
+        pad = pair_batch - len(bi)
+        if pad:
+            img = jnp.pad(img, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            ids = jnp.pad(ids, ((0, pad), (0, 0)))
+            msk = jnp.pad(msk, ((0, pad), (0, 0)))
+        s = np.asarray(rank_fn(variables, img, ids, msk))[:len(bi)]
+        scores[bi, bt] = s
+    return scores
+
+
+def recall_at_k(score_i2t: np.ndarray, img2txt: Sequence[Sequence[int]],
+                txt2img: Sequence[int],
+                ks: Sequence[int] = (1, 5, 10)) -> Dict[str, float]:
+    """TR@k: rank texts per image (any GT caption hits top-k);
+    IR@k: rank images per text (ref objectives.py:361-385)."""
+    Ni, Nt = score_i2t.shape
+    out = {}
+    order_t = np.argsort(-score_i2t, axis=1)
+    for k in ks:
+        hit = 0
+        for i in range(Ni):
+            topk = set(order_t[i, :k].tolist())
+            if topk & set(img2txt[i]):
+                hit += 1
+        out[f"tr_r{k}"] = hit / Ni
+    order_i = np.argsort(-score_i2t.T, axis=1)
+    for k in ks:
+        hit = 0
+        for t in range(Nt):
+            if txt2img[t] in order_i[t, :k]:
+                hit += 1
+        out[f"ir_r{k}"] = hit / Nt
+    return out
+
+
+def evaluate_retrieval(model: FiberCoarse, variables, images, text_ids,
+                       text_masks, img2txt, txt2img,
+                       rerank_topk: Optional[int] = 32,
+                       batch_size: int = 64) -> Dict[str, float]:
+    """Full pipeline: ITC recall + ITM-reranked recall
+    (ref epoch_wrapup recall suite, fiber_utils.py:44-140)."""
+    img_emb, txt_emb = encode_corpus(model, variables, images, text_ids,
+                                     text_masks, batch_size)
+    itc = itc_score_matrix(img_emb, txt_emb)
+    metrics = {f"itc_{k}": v
+               for k, v in recall_at_k(itc, img2txt, txt2img).items()}
+    rerank = itm_rerank_matrix(model, variables, images, text_ids,
+                               text_masks, itc, rerank_topk, batch_size)
+    # fall back to ITC ordering outside the reranked set
+    combined = np.where(np.isinf(rerank), itc - 1e4, rerank)
+    metrics.update({f"itm_{k}": v for k, v in
+                    recall_at_k(combined, img2txt, txt2img).items()})
+    return metrics

@@ -104,6 +104,42 @@ class CoarseTrainer:
                           opt_state=new_opt, queue=new_queue,
                           ema_params=ema), metrics
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_accum(self, state: TrainState, batches, rng):
+        """Gradient accumulation over a leading microbatch axis
+        (ref run.py:46,63 accumulate_grad_batches): grads averaged across
+        microbatches, ITC queue enqueued per microbatch (matching PL
+        semantics where compute_itc runs every forward)."""
+        n_micro = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+
+        def micro(carry, xs):
+            queue, rng = carry
+            batch, = xs
+            rng, sub = jax.random.split(rng)
+            (loss, (metrics, new_queue)), grads = grad_fn(
+                state.params, batch, queue, sub, True)
+            metrics = dict(metrics)
+            metrics["total_loss"] = loss
+            return (new_queue, rng), (grads, metrics)
+
+        (new_queue, _), (grads, metrics) = jax.lax.scan(
+            micro, (state.queue, rng), (batches,))
+        grads = jax.tree_util.tree_map(lambda g: g.mean(axis=0), grads)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+
+        updates, new_opt = self._tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt, queue=new_queue,
+                          ema_params=ema), metrics
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch, rng):
         loss, (metrics, _) = self.loss_fn(state.params, batch, state.queue,
