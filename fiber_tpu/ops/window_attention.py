@@ -1,0 +1,119 @@
+"""Fused window attention as a Pallas TPU kernel.
+
+The hot op of the Swin backbone (SURVEY.md §7 step 2).  The XLA lowering
+materializes the (B, nW, h, N, N) attention matrix in HBM twice per
+block — at stage 1 of FIBER-Base/384 that is ~680 MB each way per block.
+This kernel keeps QK^T + relative-position bias + shift mask + softmax +
+PV entirely in VMEM, processing `windows_per_program` windows per grid
+cell so the (N, hd) matmuls batch onto the MXU.
+
+Head split/merge happens in XLA (Mosaic cannot reshape the lane
+dimension); the kernel sees per-head (..., N, hd) operands and only
+merges leading dims.
+
+Semantics identical to the jnp reference path (tests/test_pallas_ops.py):
+fp32 logits/softmax, bf16 in/out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
+    """q/k/v_ref (1, WB, h, N, hd); bias_ref (WB, h, N, N);
+    out_ref (1, WB, h, N, hd)."""
+    _, WB, h, N, hd = q_ref.shape
+    q = q_ref[0].reshape(WB * h, N, hd) * scale
+    k = k_ref[0].reshape(WB * h, N, hd)
+    v = v_ref[0].reshape(WB * h, N, hd)
+
+    attn = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (WB*h, N, N)
+    attn = attn + bias_ref[...].astype(jnp.float32).reshape(WB * h, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (WB*h, N, hd)
+    out_ref[...] = out.reshape(1, WB, h, N, hd).astype(out_ref.dtype)
+
+
+def _pick_wb(nW: int, N: int, C: int, num_heads: int) -> int:
+    # ~4MB working-set budget: Mosaic double-buffers every in/out block,
+    # and the fp32 attention intermediate lives on the VMEM stack too
+    budget = 4 * 1024 * 1024
+    per_window = (3 * N * C * 2 + num_heads * N * N * 8 + N * C * 2)
+    wb = max(1, min(nW, budget // max(per_window, 1)))
+    while nW % wb:
+        wb -= 1
+    return wb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "windows_per_program",
+                                    "interpret"))
+def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
+                                   num_heads: int,
+                                   windows_per_program: int = 0,
+                                   interpret: bool = False) -> jax.Array:
+    """qkv (B, nW, N, 3C) pre-partitioned + pre-projected;
+    bias (nW, h, N, N) additive per-window logit bias (RPB + shift mask).
+    Returns (B, nW, N, C)."""
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    scale = hd ** -0.5
+    WB = windows_per_program or _pick_wb(nW, N, C, h)
+
+    x = qkv.reshape(B, nW, N, 3, h, hd)
+    x = x.transpose(3, 0, 1, 4, 2, 5)                # (3, B, nW, h, N, hd)
+    q, k, v = x[0], x[1], x[2]
+
+    spec_qkv = pl.BlockSpec((1, WB, h, N, hd), lambda b, j: (b, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(B, nW // WB),
+        in_specs=[spec_qkv, spec_qkv, spec_qkv,
+                  pl.BlockSpec((WB, h, N, N), lambda b, j: (j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, WB, h, N, hd),
+                               lambda b, j: (b, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nW, h, N, hd), qkv.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+
+
+def window_attention_windows_reference(qkv: jax.Array, bias: jax.Array,
+                                       num_heads: int) -> jax.Array:
+    """Pure-jnp semantics twin (the XLA path; CPU fallback)."""
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    scale = hd ** -0.5
+
+    x = qkv.reshape(B, nW, N, 3, h, hd)
+    q = x[:, :, :, 0].transpose(0, 1, 3, 2, 4) * scale  # (B, nW, h, N, hd)
+    k = x[:, :, :, 1].transpose(0, 1, 3, 2, 4)
+    v = x[:, :, :, 2].transpose(0, 1, 3, 2, 4)
+
+    attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+    return out

@@ -1,0 +1,85 @@
+"""Tests for the detection/grounding evaluators."""
+
+import numpy as np
+import pytest
+
+from fiber_tpu.detection import evaluation as ev
+
+
+def test_iou_matrix():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 0, 15, 10]], np.float32)
+    m = ev._iou_matrix(a, b)
+    np.testing.assert_allclose(m[0], [1.0, 50 / 150], atol=1e-6)
+
+
+def test_coco_map_perfect_predictions():
+    gts = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]]),
+            "labels": np.array([1, 2])}]
+    preds = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]]),
+              "scores": np.array([0.9, 0.8]),
+              "labels": np.array([1, 2])}]
+    m = ev.coco_map(preds, gts)
+    assert m["mAP"] == pytest.approx(1.0)
+    assert m["AP50"] == pytest.approx(1.0)
+
+
+def test_coco_map_half_right():
+    gts = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]]),
+            "labels": np.array([1, 1])}]
+    # one perfect hit, one total miss; a false positive with lower score
+    preds = [{"boxes": np.array([[0, 0, 10, 10], [100, 100, 110, 110]]),
+              "scores": np.array([0.9, 0.5]),
+              "labels": np.array([1, 1])}]
+    m = ev.coco_map(preds, gts)
+    # recall caps at 0.5 with precision 1 up to there -> AP ~ 0.5
+    assert 0.45 <= m["AP50"] <= 0.55
+
+
+def test_coco_map_localization_quality_matters():
+    gts = [{"boxes": np.array([[0, 0, 10, 10]]), "labels": np.array([1])}]
+    # IoU = 0.7 box: counts at thresholds 0.5-0.70 only (4/10)
+    preds = [{"boxes": np.array([[0, 0, 10, 7.0]]),
+              "scores": np.array([0.9]), "labels": np.array([1])}]
+    m = ev.coco_map(preds, gts)
+    assert m["AP50"] == pytest.approx(1.0)
+    assert m["AP75"] == pytest.approx(0.0)
+    assert 0.3 <= m["mAP"] <= 0.6
+
+
+def test_greedy_matching_one_gt_per_det():
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    dets = np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32)
+    scores = np.array([0.9, 0.95])
+    matched = ev.match_detections(dets, scores, gt, 0.5)
+    # higher-scoring det takes the GT; the other is unmatched
+    assert matched[1] and not matched[0]
+
+
+def test_flickr_recall():
+    gts = [{"boxes": np.array([[0, 0, 10, 10]])},
+           {"boxes": np.array([[0, 0, 10, 10]])}]
+    preds = [
+        {"boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]])},  # rank 1
+        {"boxes": np.array([[50, 50, 60, 60], [0, 0, 10, 10]])},  # rank 2
+    ]
+    m = ev.flickr_grounding_recall(preds, gts, ks=(1, 5))
+    assert m["r@1"] == 0.5
+    assert m["r@5"] == 1.0
+
+
+def test_refexp_accuracy():
+    gts = [{"boxes": np.array([[0, 0, 10, 10]])}]
+    preds = [{"boxes": np.array([[1, 1, 10, 10], [70, 70, 80, 80]])}]
+    assert ev.refexp_accuracy(preds, gts) == 1.0
+    preds = [{"boxes": np.array([[70, 70, 80, 80], [0, 0, 10, 10]])}]
+    assert ev.refexp_accuracy(preds, gts) == 0.0
+
+
+def test_check_expected_results():
+    errs = ev.check_expected_results({"mAP": 0.49},
+                                     [("mAP", 0.493, 0.02)])
+    assert errs == []
+    errs = ev.check_expected_results({"mAP": 0.40},
+                                     [("mAP", 0.493, 0.02)])
+    assert len(errs) == 1
