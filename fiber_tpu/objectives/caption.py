@@ -122,3 +122,122 @@ def caption_images(model: FiberCoarse, variables, images: jax.Array,
                           method=FiberCoarse.encode_image_caption)
     return beam_search_decode(model, variables, img_emb, bos_id, eos_id,
                               pad_id, max_len, beam_size)
+
+
+# ---------------------------------------------------------------------------
+# SCST (self-critical CIDEr optimization), ref objectives.py:712-896
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit,
+                   static_argnames=("model", "max_len", "num_samples",
+                                    "mask_token_id"))
+def sample_decode(model: FiberCoarse, variables, image_embeds: jax.Array,
+                  rng: jax.Array, bos_id: int, eos_id: int, pad_id: int,
+                  max_len: int, num_samples: int = 5,
+                  mask_token_id: int = -1) -> jax.Array:
+    """Multinomial rollouts for SCST: (B*num_samples, max_len) token ids.
+
+    Matches the reference sampler semantics (objectives.py:733-800):
+    samples from softmax at each step, the mask token is suppressed,
+    finished sequences extend with PAD.
+    """
+    B = image_embeds.shape[0]
+    K = num_samples
+    img = jnp.repeat(image_embeds, K, axis=0)
+    ids0 = jnp.full((B * K, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    done0 = jnp.zeros((B * K,), bool)
+
+    def body(state, t):
+        ids, done, rng = state
+        rng, sub = jax.random.split(rng)
+        mask = (ids != pad_id).astype(jnp.int32)
+        logits = _step_logits(model, variables, ids, mask, img, t - 1)
+        logits = logits.astype(jnp.float32)
+        if mask_token_id >= 0:
+            logits = logits.at[:, mask_token_id].set(-10000.0)
+        nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        ids = ids.at[:, t].set(nxt)
+        done = done | (nxt == eos_id) | (nxt == pad_id)
+        return (ids, done, rng), None
+
+    (ids, _, _), _ = jax.lax.scan(body, (ids0, done0, rng),
+                                  jnp.arange(1, max_len))
+    return ids
+
+
+@functools.partial(jax.jit, static_argnames=("model", "alpha"))
+def scst_loss(model: FiberCoarse, variables, images: jax.Array,
+              sampled_ids: jax.Array, rewards: jax.Array,
+              gt_ids: jax.Array, gt_masks: jax.Array,
+              pad_id: int, alpha: float = 0.3) -> jax.Array:
+    """alpha * MLE(gt) + (1-alpha) * policy-gradient with CIDEr rewards
+    (ref objectives.py:800-830, 864-880).
+
+    sampled_ids (B*K, L) from sample_decode; rewards (B*K,) CIDEr in
+    [0, 10] (scaled x10 like the native scorer and the reference, which
+    multiplies by 100 on 0-1 scores; here 10x on 0-10 = same scale).
+    """
+    B = images.shape[0]
+    K = sampled_ids.shape[0] // B
+
+    img_emb = model.apply(variables, images,
+                          method=FiberCoarse.encode_image_caption)
+    img_rep = jnp.repeat(img_emb, K, axis=0)
+    masks = (sampled_ids != pad_id).astype(jnp.int32)
+    out = model.apply(variables, sampled_ids, masks, img_rep,
+                      method=FiberCoarse.infer_caption)
+    logits = model.apply(variables, out["text_feats"],
+                         method=FiberCoarse.mlm_logits).astype(jnp.float32)
+    labels = jnp.concatenate(
+        [sampled_ids[:, 1:], jnp.full_like(sampled_ids[:, :1], pad_id)],
+        axis=1)
+    logp = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-9)
+    tok_logp = jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+    pad_mask = labels == pad_id
+    tok_logp = jnp.where(pad_mask, 0.0, tok_logp)
+    lens = (1.0 - pad_mask.astype(jnp.float32)).sum(-1)
+    seq_logp = tok_logp.sum(-1) / (lens + 1e-9)           # (B*K,)
+    # reference scales rewards to ~[0, 100]
+    rl = (seq_logp * (100.0 - 10.0 * rewards)).sum() / B
+
+    # MLE term on ground-truth captions
+    gt_emb_out = model.apply(variables, gt_ids, gt_masks, img_emb,
+                             method=FiberCoarse.infer_caption)
+    gt_logits = model.apply(variables, gt_emb_out["text_feats"],
+                            method=FiberCoarse.mlm_logits
+                            ).astype(jnp.float32)
+    gt_labels = jnp.concatenate(
+        [gt_ids[:, 1:], jnp.full_like(gt_ids[:, :1], pad_id)], axis=1)
+    gt_labels = jnp.where(gt_labels == pad_id, -100, gt_labels)
+    from fiber_tpu.objectives.coarse import cross_entropy_ignore
+    mle, _ = cross_entropy_ignore(gt_logits, gt_labels)
+    return alpha * mle + (1.0 - alpha) * rl
+
+
+def compute_caption_cider(model: FiberCoarse, variables, batch, scorer,
+                          detokenize, rng, *, bos_id: int, eos_id: int,
+                          pad_id: int, max_len: int = 50,
+                          num_samples: int = 5, alpha: float = 0.3,
+                          mask_token_id: int = -1):
+    """Full SCST step: jit sampling -> host CIDEr reward (native C++
+    scorer) -> jit loss.  `scorer` is fiber_tpu.native.CiderD built over
+    the batch's GT captions; `detokenize(ids) -> token list` strips
+    specials for reward computation."""
+    images = batch["image"]
+    B = images.shape[0]
+    img_emb = model.apply(variables, images,
+                          method=FiberCoarse.encode_image_caption)
+    sampled = sample_decode(model, variables, img_emb, rng, bos_id,
+                            eos_id, pad_id, max_len, num_samples,
+                            mask_token_id)
+    import numpy as np
+    sampled_np = np.asarray(sampled)
+    cands = {i: detokenize(sampled_np[i]) for i in range(len(sampled_np))}
+    scores = scorer.score(cands)
+    rewards = jnp.asarray([scores[i] for i in range(len(sampled_np))],
+                          jnp.float32)
+    loss = scst_loss(model, variables, images, sampled, rewards,
+                     batch["text_ids"], batch["text_masks"], pad_id,
+                     alpha)
+    return {"caption_cider_loss": loss,
+            "mean_reward": float(rewards.mean())}
