@@ -69,7 +69,10 @@ class CoarseTrainer:
             queue = ItcQueue.create(qrng, c.itc_queue_size, c.hidden_size,
                                     c.image_size, c.max_text_len,
                                     input_dtype=c.compute_dtype)
-        ema = params if self.ema_decay else None
+        # independent buffers: donation would otherwise see the same
+        # array twice
+        ema = (jax.tree_util.tree_map(jnp.copy, params)
+               if self.ema_decay else None)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state, queue=queue, ema_params=ema)
 
