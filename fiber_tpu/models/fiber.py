@@ -40,7 +40,8 @@ class FiberCoarse(nn.Module):
             num_heads=c.swin_num_heads, window_size=c.window_size,
             mlp_ratio=c.swin_mlp_ratio, drop_path_rate=c.swin_drop_path_rate,
             num_fuse_block=c.num_fuse_block,
-            use_pallas=c.use_pallas_attention, dtype=dt, name="vit_model")
+            use_pallas=c.use_pallas_attention, remat=c.remat, dtype=dt,
+            name="vit_model")
         self.text = RobertaEncoderModel(
             vocab_size=c.vocab_size, hidden_size=c.text_hidden_size,
             num_layers=c.num_text_layers, num_heads=c.num_text_heads,

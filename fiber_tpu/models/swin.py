@@ -337,12 +337,20 @@ class SwinStage(nn.Module):
     fuse_flags: Tuple[bool, ...] = ()
     pad_to_window: bool = False
     use_pallas: bool = False
+    # jax.checkpoint each block (ref use_checkpoint,
+    # swin_transformer.py:516-517): saves only block boundaries,
+    # recomputing attention/MLP internals in the backward pass
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         fuse = self.fuse_flags or tuple(False for _ in range(self.depth))
+        block_cls = (nn.remat(
+            SwinBlock, static_argnums=(),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            if self.remat else SwinBlock)
         self.blocks = [
-            SwinBlock(
+            block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
@@ -387,6 +395,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     num_fuse_block: int = 6
     use_pallas: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -420,7 +429,7 @@ class SwinTransformer(nn.Module):
                 drop_path=tuple(dpr[lo:lo + depth]),
                 has_downsample=(s < len(self.depths) - 1),
                 fuse_flags=fuse, use_pallas=self.use_pallas,
-                dtype=self.dtype, name=f"layers_{s}"))
+                remat=self.remat, dtype=self.dtype, name=f"layers_{s}"))
         self.stages = stages
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 

@@ -125,6 +125,70 @@ def caption_images(model: FiberCoarse, variables, images: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# "Gold" caption loss (self-distillation), ref fiber_module.py:526-610
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit,
+                   static_argnames=("model", "min_prob", "train"))
+def compute_caption_gold(model: FiberCoarse, variables, gold_variables,
+                         batch, pad_id: int, min_prob: float = 0.1,
+                         train: bool = True):
+    """Weighted next-token CE where weights come from a frozen copy of
+    the model ("gold" scorer, refreshed every update_freq steps by the
+    trainer): weight = max(cum_future_prob * token_prob, min_prob).
+
+    gold_variables: the frozen copy's params (the reference rebuilds
+    copy_module every 1000 steps, fiber_module.py:536-545; here the
+    caller swaps in fresh gold params on the same cadence — pure state,
+    no module surgery)."""
+    ids = batch["text_ids"]
+    masks = batch["text_masks"]
+    img_emb = model.apply(variables, batch["image"],
+                          method=FiberCoarse.encode_image_caption,
+                          deterministic=not train)
+    out = model.apply(variables, ids, masks, img_emb,
+                      method=FiberCoarse.infer_caption,
+                      deterministic=not train)
+    logits = model.apply(variables, out["text_feats"],
+                         method=FiberCoarse.mlm_logits).astype(jnp.float32)
+
+    labels = jnp.concatenate(
+        [ids[:, 1:], jnp.full_like(ids[:, :1], pad_id)], axis=1)
+    pad_mask = labels == pad_id
+
+    lsm = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(lsm, labels[..., None], -1)[..., 0]
+
+    if not train:
+        loss = nll.mean()
+    else:
+        # frozen-copy token probabilities
+        g_emb = model.apply(gold_variables, batch["image"],
+                            method=FiberCoarse.encode_image_caption)
+        g_out = model.apply(gold_variables, ids, masks, g_emb,
+                            method=FiberCoarse.infer_caption)
+        g_logits = model.apply(gold_variables, g_out["text_feats"],
+                               method=FiberCoarse.mlm_logits
+                               ).astype(jnp.float32)
+        g_probs = jnp.take_along_axis(
+            jax.nn.softmax(g_logits, -1), labels[..., None], -1)[..., 0]
+        g_probs = jnp.where(pad_mask, 0.0, g_probs)
+        valid = (~pad_mask).astype(jnp.float32)
+        # suffix cumulative mean probability (ref :563-575)
+        rev_sum = jnp.cumsum(g_probs[:, ::-1], axis=1)
+        rev_len = jnp.cumsum(valid[:, ::-1], axis=1)
+        cum_prob = (rev_sum / jnp.maximum(rev_len, 1.0))[:, ::-1]
+        weights = jnp.maximum(cum_prob * g_probs, min_prob)
+        weights = jax.lax.stop_gradient(weights)
+        per_seq = (weights * jnp.where(pad_mask, 0.0, nll)).sum(-1)
+        loss = (per_seq / (pad_mask.sum(-1) + 1e-9)).mean()
+
+    acc_valid = ~pad_mask
+    acc = (jnp.where(acc_valid, logits.argmax(-1) == labels, False).sum()
+           / jnp.maximum(acc_valid.sum(), 1))
+    return {"caption_gold_loss": loss, "caption_gold_accuracy": acc}
+
+
+# ---------------------------------------------------------------------------
 # SCST (self-critical CIDEr optimization), ref objectives.py:712-896
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit,
