@@ -82,8 +82,9 @@ class Conv3x3Norm(nn.Module):
                         dtype=self.dtype,
                         kernel_init=nn.initializers.normal(0.01),
                         name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
-                         name="gn")(x)
+        x = nn.GroupNorm(num_groups=min(self.num_groups,
+                                        self.out_channels),
+                         dtype=self.dtype, name="gn")(x)
         return x
 
 
@@ -187,10 +188,31 @@ class VLDyHead(nn.Module):
     use_dyfuse: bool = True
     use_deform: bool = True
     max_query_len: int = 256
+    # "none" (FIBER: fusion lives in the backbone) or "mha-b" (GLIP-style
+    # early fusion: VLFuse + text layer before each DyConv,
+    # ref vldyhead.py:627-668)
+    early_fuse: str = "none"
+    num_text_heads: int = 12
     dtype: Dtype = jnp.float32
 
     def setup(self):
         chans = self.channels
+        if self.early_fuse == "mha-b":
+            from fiber_tpu.detection.vlfuse import VLFuse
+            from fiber_tpu.models.roberta import RobertaLayer
+            self.fuse_layers = [
+                VLFuse(v_dim=chans, l_dim=self.lang_dim, dtype=self.dtype,
+                       name=f"vlfuse_{i}")
+                for i in range(self.num_convs)
+            ]
+            self.lang_layers = [
+                RobertaLayer(hidden_size=self.lang_dim,
+                             num_heads=self.num_text_heads,
+                             intermediate_size=self.lang_dim * 4,
+                             attn_drop=0.1, hidden_drop=0.1,
+                             dtype=self.dtype, name=f"lang_layer_{i}")
+                for i in range(self.num_convs)
+            ]
         self.tower = [
             DyConv(in_channels=self.in_channels if i == 0 else chans,
                    out_channels=chans,
@@ -242,8 +264,26 @@ class VLDyHead(nn.Module):
           dot_product_logits (B, H*W*A, T) — grounding logits
         """
         x = list(feats)
-        for dyconv in self.tower:
-            x = dyconv(x)
+        lang_hidden = lang_embedding
+        if self.early_fuse == "mha-b":
+            from fiber_tpu.models.roberta import extended_attention_mask
+            lang = {"hidden": lang_hidden, "masks": lang_mask}
+            ext = (extended_attention_mask(lang_mask, self.dtype)
+                   if lang_mask is not None else None)
+            for fuse, lang_layer, dyconv in zip(
+                    self.fuse_layers, self.lang_layers, self.tower):
+                x, lang = fuse(x, lang)
+                lang["hidden"] = lang_layer(lang["hidden"], attn_mask=ext)
+                x = dyconv(x)
+            lang_hidden = lang["hidden"]
+            if lang_mask is not None:
+                lang_embedding = lang_hidden * lang_mask.astype(
+                    lang_hidden.dtype)[..., None]
+            else:
+                lang_embedding = lang_hidden
+        else:
+            for dyconv in self.tower:
+                x = dyconv(x)
 
         # text projection: normalized embedding, /2.0, linear; bias from
         # embedding @ bias_lang + bias0 (ref vldyhead.py:789-800)
