@@ -1,0 +1,106 @@
+"""Dataset catalog: name -> factory + args, with runtime registration.
+
+Behavioral spec: maskrcnn_benchmark/config/paths_catalog.py:30-730
+(DatasetCatalog with ~60 named datasets resolved to factory classes and
+kwargs, plus `.set()` runtime registration used for custom ODinW
+datasets, ref data/build.py:288-300).
+
+Entries describe data *locations* relative to a DATA_ROOT; the actual IO
+goes through the arrow/TSV/COCO-json readers in fiber_tpu.data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    factory: str              # reader kind: arrow | coco_json | tsv | jsonl
+    args: Dict[str, Any]
+    task: str = "caption"     # caption | vqa | nlvr2 | grounding | detection
+
+
+class DatasetCatalog:
+    _REGISTRY: Dict[str, DatasetSpec] = {}
+    DATA_ROOT = os.environ.get("FIBER_DATA_ROOT", "data")
+
+    @classmethod
+    def register(cls, name: str, spec: DatasetSpec) -> None:
+        cls._REGISTRY[name] = spec
+
+    # runtime registration (ref DATASETS.REGISTER / DatasetCatalog.set)
+    set = register
+
+    @classmethod
+    def get(cls, name: str) -> DatasetSpec:
+        if name not in cls._REGISTRY:
+            raise KeyError(
+                f"unknown dataset '{name}'; known: "
+                f"{sorted(cls._REGISTRY)[:20]}...")
+        spec = cls._REGISTRY[name]
+        args = {k: (os.path.join(cls.DATA_ROOT, v)
+                    if isinstance(v, str) and k.endswith(("_file", "_root",
+                                                          "_path"))
+                    else v)
+                for k, v in spec.args.items()}
+        return DatasetSpec(factory=spec.factory, args=args, task=spec.task)
+
+    @classmethod
+    def names(cls):
+        return sorted(cls._REGISTRY)
+
+
+def _r(name, factory, task, **args):
+    DatasetCatalog.register(name, DatasetSpec(factory=factory, args=args,
+                                              task=task))
+
+
+# ---- coarse-grained arrow datasets (ref fiber/datamodules) --------------
+for split in ("train", "val", "test"):
+    _r(f"coco_caption_karpathy_{split}", "arrow", "caption",
+       arrow_path=f"coco_caption_karpathy_{split}.arrow")
+    _r(f"f30k_caption_karpathy_{split}", "arrow", "caption",
+       arrow_path=f"f30k_caption_karpathy_{split}.arrow")
+_r("vg_caption", "arrow", "caption", arrow_path="vg.arrow")
+_r("sbu_caption", "arrow", "caption", arrow_path="sbu.arrow")
+_r("gcc_caption", "arrow", "caption", arrow_path="conceptual_caption.arrow")
+for split in ("train", "val", "test"):
+    _r(f"vqav2_{split}", "arrow", "vqa",
+       arrow_path=f"vqav2_{split}.arrow")
+    _r(f"nlvr2_{split}", "arrow", "nlvr2",
+       arrow_path=f"nlvr2_{split}.arrow")
+
+# ---- fine-grained detection/grounding (ref paths_catalog.py) ------------
+_r("coco_2017_train", "coco_json", "detection",
+   img_root="coco/train2017",
+   ann_file="coco/annotations/instances_train2017.json")
+_r("coco_2017_val", "coco_json", "detection",
+   img_root="coco/val2017",
+   ann_file="coco/annotations/instances_val2017.json")
+_r("coco_grounding_train", "coco_json", "grounding",
+   img_root="coco/train2017",
+   ann_file="coco/annotations/instances_train2017.json")
+_r("lvis_v1_minival", "coco_json", "detection",
+   img_root="coco", ann_file="lvis/lvis_v1_minival.json")
+_r("flickr30k_train", "jsonl", "grounding",
+   img_root="flickr30k/images",
+   ann_file="mdetr_annotations/final_flickr_separateGT_train.json")
+_r("flickr30k_val", "jsonl", "grounding",
+   img_root="flickr30k/images",
+   ann_file="mdetr_annotations/final_flickr_separateGT_val.json")
+_r("flickr30k_test", "jsonl", "grounding",
+   img_root="flickr30k/images",
+   ann_file="mdetr_annotations/final_flickr_separateGT_test.json")
+_r("mixed_train_no_coco", "jsonl", "grounding",
+   img_root="mixed",
+   ann_file="mdetr_annotations/final_mixed_train_no_coco.json")
+for name in ("refcoco", "refcoco+", "refcocog"):
+    for split in ("train", "val", "testA", "testB", "test"):
+        _r(f"{name}_{split}", "jsonl", "grounding",
+           img_root="coco/train2014",
+           ann_file=f"mdetr_annotations/finetune_{name}_{split}.json")
+_r("object365_train", "tsv", "detection",
+   tsv_path="object365/train.tsv")

@@ -175,6 +175,79 @@ def refexp_accuracy(predictions: Sequence[Dict],
     return hits / max(n, 1)
 
 
+def lvis_fixed_ap(predictions: Sequence[Dict],
+                  ground_truths: Sequence[Dict],
+                  dets_per_class: int = 10000,
+                  iou_thrs: Optional[np.ndarray] = None,
+                  class_groups: Optional[Dict[int, str]] = None
+                  ) -> Dict[str, float]:
+    """LVIS "fixed AP" (ref lvis/lvis_eval.py:767 LvisEvaluatorFixedAP):
+    instead of a per-image detection cap, each class keeps its global
+    top-`dets_per_class` detections across the whole dataset, removing
+    the score-calibration artifact of per-image limits.
+
+    class_groups optionally maps class id -> "r"/"c"/"f" for the
+    rare/common/frequent AP breakdown.
+    """
+    if iou_thrs is None:
+        iou_thrs = np.arange(0.5, 0.96, 0.05)
+    classes = sorted({int(l) for gt in ground_truths
+                      for l in np.asarray(gt["labels"]).tolist()})
+    per_class_ap: Dict[int, float] = {}
+    for cls in classes:
+        # pool this class's detections over the dataset, keep global top-k
+        entries = []  # (score, image_idx, box)
+        for i, pred in enumerate(predictions):
+            mask = np.asarray(pred["labels"]) == cls
+            boxes = np.asarray(pred["boxes"], np.float32).reshape(-1, 4)[
+                mask]
+            scores = np.asarray(pred["scores"], np.float32)[mask]
+            for b, s in zip(boxes, scores):
+                entries.append((float(s), i, b))
+        entries.sort(key=lambda e: -e[0])
+        entries = entries[:dets_per_class]
+
+        aps = []
+        for thr in iou_thrs:
+            num_gt = 0
+            gt_taken = []
+            for gt in ground_truths:
+                g_mask = np.asarray(gt["labels"]) == cls
+                num_gt += int(g_mask.sum())
+                gt_taken.append(np.zeros(int(g_mask.sum()), bool))
+            if num_gt == 0:
+                continue
+            matched = np.zeros(len(entries), bool)
+            for d, (s, i, box) in enumerate(entries):
+                g_mask = np.asarray(ground_truths[i]["labels"]) == cls
+                g_boxes = np.asarray(ground_truths[i]["boxes"],
+                                     np.float32).reshape(-1, 4)[g_mask]
+                if len(g_boxes) == 0:
+                    continue
+                ious = _iou_matrix(box[None], g_boxes)[0]
+                order = np.argsort(-ious)
+                for g in order:
+                    if ious[g] < thr:
+                        break
+                    if not gt_taken[i][g]:
+                        gt_taken[i][g] = True
+                        matched[d] = True
+                        break
+            scores = np.asarray([e[0] for e in entries], np.float32)
+            aps.append(average_precision(scores, matched, num_gt))
+        if aps:
+            per_class_ap[cls] = float(np.mean(aps))
+    vals = list(per_class_ap.values())
+    out = {"fixed_mAP": float(np.mean(vals)) if vals else float("nan")}
+    if class_groups:
+        for g in ("r", "c", "f"):
+            gv = [ap for c, ap in per_class_ap.items()
+                  if class_groups.get(c) == g]
+            out[f"fixed_mAP_{g}"] = (float(np.mean(gv)) if gv
+                                     else float("nan"))
+    return out
+
+
 def check_expected_results(metrics: Dict[str, float],
                            expected: Sequence[Tuple[str, float, float]]
                            ) -> List[str]:

@@ -57,6 +57,44 @@ def warmup_multistep_schedule(base_lr: float, max_iter: int,
     return schedule
 
 
+class WarmupReduceLROnPlateau:
+    """Host-side plateau scheduler (ref lr_scheduler.py:94-160,
+    SOLVER.AUTO_TERMINATE_PATIENCE / autostep eval-during-training,
+    engine/trainer.py:255-360): after warmup, decay the LR scale by
+    `gamma` whenever the eval metric hasn't improved for `patience`
+    evals.  The scale is passed into the jit train step as data."""
+
+    def __init__(self, patience: int = 2, gamma: float = 0.1,
+                 minimize: bool = False, max_decays: int = 4):
+        self.patience = patience
+        self.gamma = gamma
+        self.minimize = minimize
+        self.max_decays = max_decays
+        self.best = None
+        self.bad = 0
+        self.decays = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        better = (self.best is None
+                  or (metric < self.best if self.minimize
+                      else metric > self.best))
+        if better:
+            self.best = metric
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad >= self.patience and self.decays < self.max_decays:
+                self.scale *= self.gamma
+                self.decays += 1
+                self.bad = 0
+        return self.scale
+
+    @property
+    def exhausted(self) -> bool:
+        return self.decays >= self.max_decays
+
+
 def _det_param_group(path, _leaf) -> str:
     name = "/".join(str(getattr(k, "key", k)) for k in path)
     is_lang = "language_backbone" in name
@@ -132,7 +170,8 @@ class DetectionTrainer:
                              if self.ema_decay else None)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: DetTrainState, batch, rng
+    def train_step(self, state: DetTrainState, batch, rng,
+                   lr_scale: jax.Array = jnp.float32(1.0)
                    ) -> Tuple[DetTrainState, Dict[str, jax.Array]]:
         def loss_fn(params):
             losses = detection_loss(self.model, {"params": params}, batch,
@@ -149,6 +188,9 @@ class DetectionTrainer:
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt = self._tx.update(grads, state.opt_state,
                                            state.params)
+        # plateau-autostep LR scale (data, not recompile)
+        updates = jax.tree_util.tree_map(
+            lambda u: u * lr_scale.astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
         if ema is not None:
