@@ -60,10 +60,11 @@ def _pick_wb(nW: int, N: int, C: int, num_heads: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "windows_per_program",
-                                    "interpret"))
+                                    "batch_per_program", "interpret"))
 def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
                                    num_heads: int,
                                    windows_per_program: int = 0,
+                                   batch_per_program: int = 0,
                                    interpret: bool = False) -> jax.Array:
     """qkv (B, nW, N, 3C) pre-partitioned + pre-projected;
     bias (nW, h, N, N) additive per-window logit bias (RPB + shift mask).
@@ -74,21 +75,27 @@ def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
     hd = C // h
     scale = hd ** -0.5
     WB = windows_per_program or _pick_wb(nW, N, C, h)
+    del batch_per_program  # probed: multi-batch blocks force Mosaic
+    # relayouts that cost far more than the shared-bias DMA they save
 
     x = qkv.reshape(B, nW, N, 3, h, hd)
     x = x.transpose(3, 0, 1, 4, 2, 5)                # (3, B, nW, h, N, hd)
     q, k, v = x[0], x[1], x[2]
 
-    spec_qkv = pl.BlockSpec((1, WB, h, N, hd), lambda b, j: (b, j, 0, 0, 0),
+    # grid order (window-group, batch): the bias block's index map is
+    # constant along the inner batch axis, so Mosaic skips re-fetching the
+    # (often multi-MB) bias between consecutive iterations
+    spec_qkv = pl.BlockSpec((1, WB, h, N, hd),
+                            lambda j, b: (b, j, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
-        grid=(B, nW // WB),
+        grid=(nW // WB, B),
         in_specs=[spec_qkv, spec_qkv, spec_qkv,
-                  pl.BlockSpec((WB, h, N, N), lambda b, j: (j, 0, 0, 0),
+                  pl.BlockSpec((WB, h, N, N), lambda j, b: (j, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, WB, h, N, hd),
-                               lambda b, j: (b, j, 0, 0, 0),
+                               lambda j, b: (b, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nW, h, N, hd), qkv.dtype),
         interpret=interpret,
