@@ -177,10 +177,32 @@ def task_finetune_caption_mle(**kw) -> FiberConfig:
     return FiberConfig.base(loss_names=("caption_mle",), **kw)
 
 
+def task_finetune_caption_gold(**kw) -> FiberConfig:
+    kw.setdefault("image_size", 576)
+    kw.setdefault("max_text_len", 50)
+    return FiberConfig.base(loss_names=("caption_gold",), **kw)
+
+
+def task_finetune_caption_cider(**kw) -> FiberConfig:
+    kw.setdefault("image_size", 576)
+    kw.setdefault("max_text_len", 50)
+    kw.setdefault("learning_rate", 1e-6)
+    return FiberConfig.base(loss_names=("caption_cider",), **kw)
+
+
+def task_finetune_irtr_itc(**kw) -> FiberConfig:
+    """ITC-only retrieval finetuning (ref irtr_itc_coco/f30k presets)."""
+    kw.setdefault("image_size", 576)
+    return FiberConfig.base(loss_names=("itc",), **kw)
+
+
 TASK_PRESETS: Dict[str, Any] = {
     "pretrain_mlm_itm_itc": task_pretrain_mlm_itm_itc,
     "finetune_vqa": task_finetune_vqa,
     "finetune_nlvr2": task_finetune_nlvr2,
     "finetune_irtr_itm_itc": task_finetune_irtr_itm_itc,
+    "finetune_irtr_itc": task_finetune_irtr_itc,
     "finetune_caption_mle": task_finetune_caption_mle,
+    "finetune_caption_gold": task_finetune_caption_gold,
+    "finetune_caption_cider": task_finetune_caption_cider,
 }

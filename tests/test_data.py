@@ -93,3 +93,14 @@ def test_whitespace_tokenizer_batch():
     assert out["attention_mask"][0].sum() == 5  # <s> a dog runs </s>
     assert out["attention_mask"][1].sum() == 3
     assert out["input_ids"][1, -1] == tok.pad_token_id
+
+
+def test_multitask_iterator_mixes_proportionally():
+    from fiber_tpu.data.multitask import MultitaskIterator
+    it = MultitaskIterator([900, 100], batch_size=4, seed=0)
+    picks = [next(it)[0] for _ in range(200)]
+    frac = sum(1 for p in picks if p == 0) / len(picks)
+    assert 0.8 < frac < 0.98
+    # batches come from the right datasets
+    d, idx = next(it)
+    assert (idx < (900 if d == 0 else 100)).all()
