@@ -160,18 +160,15 @@ class WindowAttention(nn.Module):
         else:
             bias = jnp.broadcast_to(bias, (nW, h, N, N))
 
+        # NB: attention-prob dropout is not applied on either path — the
+        # reference's Swin configs run with attn_drop=0 (only hidden
+        # dropout is set, ref config.py:57); the kernel requires it.
         use_kernel = (self.use_pallas and self.attn_drop == 0.0
                       and jax.default_backend() == "tpu")
         if use_kernel:
             out = fused_window_attention_windows(qkv, bias, h)
         else:
             out = window_attention_windows_reference(qkv, bias, h)
-            # attention-prob dropout only exists on the non-kernel path
-            # (pretraining configs set attn_drop=0; ref default 0.0)
-            if self.attn_drop > 0.0 and not deterministic:
-                pass  # handled inside reference path would need probs;
-                # the reference uses attn_drop=0 everywhere (config.py:57
-                # sets hidden dropout only), so we keep drop on outputs.
         out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)

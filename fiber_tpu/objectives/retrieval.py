@@ -23,21 +23,35 @@ import numpy as np
 from fiber_tpu.models.fiber import FiberCoarse
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames="model")
+def _img_fn(model, v, x):
+    return model.apply(v, x, method=FiberCoarse.encode_image_itc
+                       )["cls_feats"]
+
+
+@functools.partial(jax.jit, static_argnames="model")
+def _txt_fn(model, v, ids, msk):
+    return model.apply(v, ids, msk,
+                       method=FiberCoarse.encode_text_itc)["cls_feats"]
+
+
+@functools.partial(jax.jit, static_argnames="model")
+def _rank_fn(model, v, img, ids, msk):
+    out = model.apply(v, img, ids, msk, method=FiberCoarse.infer)
+    return model.apply(v, out["cls_feats"],
+                       method=FiberCoarse.rank_scores)[:, 0]
+
+
 def encode_corpus(model: FiberCoarse, variables,
                   images: np.ndarray, text_ids: np.ndarray,
                   text_masks: np.ndarray,
                   batch_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:
     """Unfused tower embeddings for all images / texts (normalized)."""
-
-    @jax.jit
-    def img_fn(v, x):
-        return model.apply(v, x, method=FiberCoarse.encode_image_itc
-                           )["cls_feats"]
-
-    @jax.jit
-    def txt_fn(v, ids, msk):
-        return model.apply(v, ids, msk,
-                           method=FiberCoarse.encode_text_itc)["cls_feats"]
+    img_fn = functools.partial(_img_fn, model)
+    txt_fn = functools.partial(_txt_fn, model)
 
     def run(fn, *arrays):
         n = arrays[0].shape[0]
@@ -82,11 +96,7 @@ def itm_rerank_matrix(model: FiberCoarse, variables,
     pair_img = np.repeat(np.arange(Ni), k)
     pair_txt = top_txt.reshape(-1)
 
-    @jax.jit
-    def rank_fn(v, img, ids, msk):
-        out = model.apply(v, img, ids, msk, method=FiberCoarse.infer)
-        return model.apply(v, out["cls_feats"],
-                           method=FiberCoarse.rank_scores)[:, 0]
+    rank_fn = functools.partial(_rank_fn, model)
 
     scores = np.full((Ni, Nt), -np.inf, np.float32)
     n_pairs = len(pair_img)

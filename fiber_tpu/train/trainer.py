@@ -113,7 +113,6 @@ class CoarseTrainer:
         (ref run.py:46,63 accumulate_grad_batches): grads averaged across
         microbatches, ITC queue enqueued per microbatch (matching PL
         semantics where compute_itc runs every forward)."""
-        n_micro = jax.tree_util.tree_leaves(batches)[0].shape[0]
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
 
         def micro(carry, xs):

@@ -55,3 +55,33 @@ def test_scst_end_to_end():
     g = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+def test_caption_gold_end_to_end():
+    from fiber_tpu.config import FiberConfig
+    from fiber_tpu.models.fiber import FiberCoarse
+    cfg = FiberConfig.tiny_test(loss_names=("caption_gold",))
+    model = FiberCoarse(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = 2
+    img = jax.random.normal(rng, (B, cfg.image_size, cfg.image_size, 3))
+    ids = jnp.full((B, cfg.max_text_len), 3, jnp.int32).at[:, -2:].set(1)
+    msk = (ids != 1).astype(jnp.int32)
+    variables = model.init(rng, img, ids, msk,
+                           method=FiberCoarse.init_full)
+    batch = {"image": img, "text_ids": ids, "text_masks": msk}
+    out = cap.compute_caption_gold(model, variables, variables, batch,
+                                   pad_id=1, train=True)
+    assert np.isfinite(out["caption_gold_loss"])
+    # eval path (plain mean CE)
+    out_eval = cap.compute_caption_gold(model, variables, variables, batch,
+                                        pad_id=1, train=False)
+    assert np.isfinite(out_eval["caption_gold_loss"])
+    # gradient flows (gold params are stop-gradient)
+    def f(p):
+        return cap.compute_caption_gold(
+            model, {"params": p}, variables, batch, pad_id=1,
+            train=True)["caption_gold_loss"]
+    g = jax.grad(f)(variables["params"])
+    assert any(bool(jnp.any(l != 0))
+               for l in jax.tree_util.tree_leaves(g))
