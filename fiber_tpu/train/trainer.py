@@ -93,6 +93,12 @@ class CoarseTrainer:
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (metrics, new_queue)), grads = grad_fn(
             state.params, batch, state.queue, rng, True)
+        # NaN guard (ref engine/trainer.py:162-164 zeroes a non-finite loss
+        # before backward): zero the grads so the optimizer applies only
+        # the decoupled weight-decay step and training survives the batch.
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt = self._tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -112,23 +118,45 @@ class CoarseTrainer:
         """Gradient accumulation over a leading microbatch axis
         (ref run.py:46,63 accumulate_grad_batches): grads averaged across
         microbatches, ITC queue enqueued per microbatch (matching PL
-        semantics where compute_itc runs every forward)."""
-        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        semantics where compute_itc runs every forward).
 
-        def micro(carry, xs):
-            queue, rng = carry
-            batch, = xs
+        Gradients are summed *in the scan carry* (one grad-sized buffer),
+        not stacked along the scan output axis: stacking would peak at
+        n_micro x param-tree (FIBER-Base fp32 grads ~1 GB each), which is
+        the difference between fitting and OOM at the reference's 4096
+        global batch on a 16 GB chip.  The first microbatch is peeled to
+        seed the carry with a concretely-structured (grads, metrics) pair.
+        """
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        n_micro = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+        def one(queue, batch, rng):
             rng, sub = jax.random.split(rng)
             (loss, (metrics, new_queue)), grads = grad_fn(
                 state.params, batch, queue, sub, True)
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             metrics = dict(metrics)
             metrics["total_loss"] = loss
-            return (new_queue, rng), (grads, metrics)
+            return new_queue, rng, grads, metrics
 
-        (new_queue, _), (grads, metrics) = jax.lax.scan(
-            micro, (state.queue, rng), (batches,))
-        grads = jax.tree_util.tree_map(lambda g: g.mean(axis=0), grads)
-        metrics = jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+        first = jax.tree_util.tree_map(lambda x: x[0], batches)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], batches)
+        queue, rng, grads, metrics = one(state.queue, first, rng)
+
+        def micro(carry, batch):
+            queue, rng, gsum, msum = carry
+            queue, rng, g, m = one(queue, batch, rng)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            msum = jax.tree_util.tree_map(jnp.add, msum, m)
+            return (queue, rng, gsum, msum), None
+
+        (new_queue, _, grads, metrics), _ = jax.lax.scan(
+            micro, (queue, rng, grads, metrics), rest)
+        inv = 1.0 / n_micro
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
 
         updates, new_opt = self._tx.update(grads, state.opt_state,
                                            state.params)

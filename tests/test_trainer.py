@@ -60,6 +60,45 @@ def test_train_step_runs_and_descends():
     assert int(state.queue.total) == 24
 
 
+def test_train_step_accum_matches_sequential():
+    """Carry-accumulated grads must equal the explicit per-microbatch
+    mean (same rng/queue threading), at 1/n_micro the peak grad memory."""
+    cfg = FiberConfig.tiny_test(loss_names=("itm", "mlm", "itc"))
+    trainer = CoarseTrainer(cfg, mesh=create_mesh())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    micros = [_make_batch(cfg, 4, seed=s) for s in (10, 11, 12)]
+    batches = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *micros)
+    rng = jax.random.PRNGKey(5)
+
+    # expected: explicit sequential loop with identical rng/queue threading
+    grad_fn = jax.value_and_grad(trainer.loss_fn, has_aux=True)
+    queue, r = state.queue, rng
+    gsum = None
+    loss_sum = 0.0
+    for m in micros:
+        r, sub = jax.random.split(r)
+        (loss, (_, queue)), g = grad_fn(state.params, m, queue, sub, True)
+        loss_sum += float(loss)
+        gsum = g if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, g)
+    grads = jax.tree_util.tree_map(lambda g: g / len(micros), gsum)
+    updates, _ = trainer._tx.update(grads, state.opt_state, state.params)
+    import optax
+    expected_params = optax.apply_updates(state.params, updates)
+
+    new_state, metrics = trainer.train_step_accum(state, batches, rng)
+    assert int(new_state.queue.total) == 12
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               loss_sum / len(micros), rtol=1e-5)
+    flat_got = jax.tree_util.tree_leaves(new_state.params)
+    flat_exp = jax.tree_util.tree_leaves(expected_params)
+    for got, exp in zip(flat_got, flat_exp):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=2e-6, rtol=1e-5)
+
+
 def test_train_step_multidevice_matches_queue_semantics():
     """On an 8-device mesh, the queue must receive the *global* batch."""
     assert jax.device_count() >= 8, "conftest must set 8 CPU devices"
