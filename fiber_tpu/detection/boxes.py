@@ -30,13 +30,27 @@ def box_area(boxes: jax.Array) -> jax.Array:
 
 
 def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
-    """(N, 4) x (M, 4) -> (N, M) IoU matrix."""
+    """(N, 4) x (M, 4) -> (N, M) IoU matrix (float convention)."""
     lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
     rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
     wh = jnp.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = box_area(a)[:, None] + box_area(b)[None, :] - inter
     return inter / jnp.maximum(union, 1e-9)
+
+
+def box_iou_legacy(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(N, 4) x (M, 4) -> (N, M) IoU with the reference's TO_REMOVE=1
+    pixel convention (structures/boxlist_ops.py:96-130, bounding_box.py:227
+    area, csrc/cpu/nms_cpu.cpp:22): widths/heights count inclusive pixel
+    spans (x2-x1+1).  Used by ATSS assignment and NMS for exact parity."""
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt + 1, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
 
 
 def pairwise_giou(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -80,14 +94,16 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     """
     n = boxes.shape[0]
     live = jnp.ones((n,), bool) if valid is None else valid.astype(bool)
-    iou = box_iou(boxes, boxes)  # (N, N) once; reused every iteration
+    # legacy +1 IoU and >=-threshold suppression: exact semantics of the
+    # reference kernel (csrc/cpu/nms_cpu.cpp:22-61)
+    iou = box_iou_legacy(boxes, boxes)  # (N, N) once; reused every iteration
 
     def body(state, _):
         live, = state
         masked = jnp.where(live, scores, NEG_INF)
         idx = jnp.argmax(masked)
         ok = masked[idx] > NEG_INF / 2
-        suppress = iou[idx] > iou_threshold
+        suppress = iou[idx] >= iou_threshold
         live = live & ~suppress & (jnp.arange(n) != idx)
         return (live,), (idx, ok)
 
@@ -114,7 +130,7 @@ def soft_nms(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5,
     overlaps, decay their scores by exp(-iou^2/sigma).  Returns
     (keep_indices, decayed_scores) of length max_outputs."""
     n = boxes.shape[0]
-    iou = box_iou(boxes, boxes)
+    iou = box_iou_legacy(boxes, boxes)
 
     def body(state, _):
         cur_scores, live = state
@@ -138,16 +154,20 @@ def soft_nms(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5,
 def encode_boxes(gt: jax.Array, anchors: jax.Array,
                  weights: Tuple[float, float, float, float] = (10., 10., 5., 5.)
                  ) -> jax.Array:
-    """xyxy gt + anchors -> (dx, dy, dw, dh) regression targets
-    (Faster-RCNN parameterization used by ATSS BoxCoder)."""
+    """xyxy gt + anchors -> (dx, dy, dw, dh) regression targets.
+
+    Exact semantics of the ATSS BoxCoder the detection head trains with
+    (ref modeling/rpn/vldyhead.py:54-83): inclusive +1 widths/heights but
+    *midpoint* centers (x0+x2)/2 — note this differs by 0.5 from the
+    classic Faster-RCNN x0+0.5*w parameterization."""
     aw = anchors[..., 2] - anchors[..., 0] + 1
     ah = anchors[..., 3] - anchors[..., 1] + 1
-    ax = anchors[..., 0] + aw * 0.5
-    ay = anchors[..., 1] + ah * 0.5
+    ax = (anchors[..., 0] + anchors[..., 2]) * 0.5
+    ay = (anchors[..., 1] + anchors[..., 3]) * 0.5
     gw = gt[..., 2] - gt[..., 0] + 1
     gh = gt[..., 3] - gt[..., 1] + 1
-    gx = gt[..., 0] + gw * 0.5
-    gy = gt[..., 1] + gh * 0.5
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
     wx, wy, ww, wh = weights
     return jnp.stack([
         wx * (gx - ax) / aw, wy * (gy - ay) / ah,
@@ -158,11 +178,12 @@ def decode_boxes(deltas: jax.Array, anchors: jax.Array,
                  weights: Tuple[float, float, float, float] = (10., 10., 5., 5.),
                  clamp: float = 4.135166556742356  # log(1000/16)
                  ) -> jax.Array:
-    """Inverse of encode_boxes (ref modeling/box_coder.py semantics)."""
+    """Inverse of encode_boxes (ref rpn/vldyhead.py:85-117 BoxCoder.decode):
+    x1 = ctr - 0.5*(w-1), x2 = ctr + 0.5*(w-1)."""
     aw = anchors[..., 2] - anchors[..., 0] + 1
     ah = anchors[..., 3] - anchors[..., 1] + 1
-    ax = anchors[..., 0] + aw * 0.5
-    ay = anchors[..., 1] + ah * 0.5
+    ax = (anchors[..., 0] + anchors[..., 2]) * 0.5
+    ay = (anchors[..., 1] + anchors[..., 3]) * 0.5
     wx, wy, ww, wh = weights
     dx = deltas[..., 0] / wx
     dy = deltas[..., 1] / wy
@@ -172,8 +193,8 @@ def decode_boxes(deltas: jax.Array, anchors: jax.Array,
     cy = dy * ah + ay
     w = jnp.exp(dw) * aw
     h = jnp.exp(dh) * ah
-    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
-                      cx + 0.5 * w - 1, cy + 0.5 * h - 1], axis=-1)
+    return jnp.stack([cx - 0.5 * (w - 1), cy - 0.5 * (h - 1),
+                      cx + 0.5 * (w - 1), cy + 0.5 * (h - 1)], axis=-1)
 
 
 def clip_boxes(boxes: jax.Array, height: float, width: float) -> jax.Array:
