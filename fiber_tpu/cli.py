@@ -138,10 +138,19 @@ def train(args) -> Dict[str, float]:
     rng = jax.random.PRNGKey(args.seed + 1)
     metrics = {}
     t0 = time.time()
+    from fiber_tpu.utils.nan_debug import NanDumper
+    nan_dumper = NanDumper(getattr(args, "nan_dump_dir", None)
+                           or (args.output_dir and
+                               os.path.join(args.output_dir, "nan_dumps")))
     for step in range(int(state.step), cfg.max_steps):
         batch = trainer.shard_batch(next(batches))
         rng, sub = jax.random.split(rng)
         state, metrics = trainer.train_step(state, batch, sub)
+        loss = float(metrics["total_loss"])
+        # train_step zeroes non-finite grads (ref trainer.py:162-164), so
+        # post-step params differ from the offending forward only by the
+        # decoupled weight-decay step — valid for replay.
+        nan_dumper.check(step, loss, batch, state.params, metrics)
         if step % args.log_every == 0 or step == cfg.max_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0
@@ -177,7 +186,14 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--nan-dump-dir", default=None,
+                   help="dump batch+params here on a non-finite loss "
+                        "(default: <output-dir>/nan_dumps)")
     args = p.parse_args(argv)
+    from fiber_tpu.parallel.multihost import maybe_initialize_distributed
+    if maybe_initialize_distributed():
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
     return train(args)
 
 
