@@ -35,9 +35,20 @@ def evaluate_detection(model, variables, images: np.ndarray,
                        ground_truths: Sequence[Dict],
                        tokenizer, chunk_size: int = 40,
                        batch: int = 1, **pp_kwargs) -> Dict[str, float]:
-    """Chunked-class zero-shot OD evaluation loop."""
+    """Chunked-class zero-shot OD evaluation loop.
+
+    Under a multihost run each process evaluates a contiguous slice of the
+    images and the per-image predictions are all-gathered before scoring
+    (ref engine/inference.py:280 _accumulate_predictions_from_multiple_gpus
+    over pickled object gathers, dist_utils.py:137-170)."""
+    from fiber_tpu.parallel.multihost import merge_eval_predictions
+
     cfg = model.cfg
     chunks = chunk_class_names(label_names, chunk_size)
+    n_total = len(images)
+    my_ids = list(range(jax.process_index(), n_total, jax.process_count()))
+    images = images[my_ids]
+    image_sizes = image_sizes[my_ids]
     n = len(images)
     merged = [{"boxes": [], "scores": [], "labels": []} for _ in range(n)]
     for chunk in chunks:
@@ -81,14 +92,16 @@ def evaluate_detection(model, variables, images: np.ndarray,
                 merged[i + j]["labels"].append(np.asarray(
                     [local_to_global[int(c)]
                      for c in np.asarray(dets.labels[j])[v]], np.int64))
-    predictions = [{
+    local = {img_id: {
         "boxes": np.concatenate(m["boxes"]) if m["boxes"] else
         np.zeros((0, 4)),
         "scores": np.concatenate(m["scores"]) if m["scores"] else
         np.zeros((0,)),
         "labels": np.concatenate(m["labels"]) if m["labels"] else
         np.zeros((0,), np.int64),
-    } for m in merged]
+    } for img_id, m in zip(my_ids, merged)}
+    all_preds = merge_eval_predictions(local)
+    predictions = [all_preds[i] for i in range(n_total)]
     return coco_map(predictions, ground_truths)
 
 

@@ -60,6 +60,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    from fiber_tpu.parallel.multihost import maybe_initialize_distributed
+    if maybe_initialize_distributed():
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
+
     if args.tiny:
         cfg = DetectorConfig.tiny_test()
     else:
