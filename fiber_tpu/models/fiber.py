@@ -244,6 +244,52 @@ class FiberCoarse(nn.Module):
         return {"text_feats": text_feats, "cls_feats": cls_feats}
 
     # ------------------------------------------------------------------
+    # KV-cached captioning decode (SURVEY.md §7 step 5).  The reference
+    # decoder re-encodes the full prefix per token (objectives.py:560-644);
+    # here per-layer self-attention K/V are cached and the constant image
+    # K/V are projected once, making each step O(L) instead of O(L^2).
+    # ------------------------------------------------------------------
+    def init_caption_cache(self, image_embeds: jax.Array, max_len: int):
+        """Per-layer decode state: zeroed self-attention caches + the
+        image cross-attention K/V, projected once per decode."""
+        c = self.cfg
+        B = image_embeds.shape[0]
+        h = c.num_text_heads
+        hd = c.text_hidden_size // h
+        n_pre = c.num_text_layers - c.num_fuse_block
+        caches = []
+        for i, layer in enumerate(self.text.layers):
+            kv = (jnp.zeros((B, h, max_len, hd), c.compute_dtype),
+                  jnp.zeros((B, h, max_len, hd), c.compute_dtype))
+            if i < n_pre:
+                img_kv = None
+            elif i < c.num_text_layers - 2:
+                proj = self.caption_image_proj[str(i)](image_embeds)
+                img_kv = layer.crossattention_t2i.project_kv(proj)
+            else:
+                img_kv = layer.crossattention_t2i.project_kv(image_embeds)
+            caches.append({"self_kv": kv, "image_kv": img_kv})
+        return caches
+
+    def decode_caption_step(self, token_ids: jax.Array, pos, caches):
+        """One decode step: token_ids (B, 1) at sequence position `pos`
+        (0-based); returns (next-token logits (B, V), updated caches)."""
+        c = self.cfg
+        # live prefixes contain no PAD, so position = pos + 1 + pad_idx
+        # (roberta.py create_position_ids semantics)
+        position_ids = jnp.full_like(token_ids, 0) + pos + 1 + c.pad_token_id
+        x = self.text.embeddings(token_ids, position_ids=position_ids)
+        new_caches = []
+        for layer, cache in zip(self.text.layers, caches):
+            x, new_kv = layer.decode_step(x, cache["self_kv"], pos,
+                                          image_kv=cache["image_kv"])
+            new_caches.append({"self_kv": new_kv,
+                               "image_kv": cache["image_kv"]})
+        feats = self.cross_modal_text_transform(x)
+        logits = self.mlm_score(feats)[:, 0, :]
+        return logits, new_caches
+
+    # ------------------------------------------------------------------
     # Heads
     # ------------------------------------------------------------------
     def mlm_logits(self, text_feats: jax.Array) -> jax.Array:

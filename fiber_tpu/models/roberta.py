@@ -97,6 +97,12 @@ class MultiHeadAttention(nn.Module):
 
     Emits context through an output dense + dropout (no residual/norm here —
     the layer applies them, matching the reference's modified SelfOutput).
+
+    Also exposes the KV-cached decode interface (project_kv / attend /
+    decode_step) used by the cached caption decoder — the reference decoder
+    re-encodes the full prefix each token (objectives.py:560-644, no
+    past_key_values plumbed); here incremental decode is the fast path and
+    the re-encode stays as the parity oracle.
     """
 
     hidden_size: int
@@ -106,41 +112,76 @@ class MultiHeadAttention(nn.Module):
     hidden_drop: float = 0.1
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array] = None,
-                 memory: Optional[jax.Array] = None, *,
-                 deterministic: bool = True) -> jax.Array:
+    def setup(self):
+        self.query = nn.Dense(self.hidden_size, dtype=self.dtype,
+                              kernel_init=bert_normal_init)
+        self.key = nn.Dense(self.hidden_size, dtype=self.dtype,
+                            kernel_init=bert_normal_init)
+        self.value = nn.Dense(self.hidden_size, dtype=self.dtype,
+                              kernel_init=bert_normal_init)
+        self.out_dense = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                  kernel_init=bert_normal_init)
+        self.attn_dropout = nn.Dropout(self.attn_drop)
+        self.out_dropout = nn.Dropout(self.hidden_drop)
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        B, L = x.shape[0], x.shape[1]
+        h = self.num_heads
+        return x.reshape(B, L, h, self.hidden_size // h).transpose(
+            0, 2, 1, 3)
+
+    def project_kv(self, src: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Head-shaped (B, h, L, hd) key/value projections of a memory —
+        computed once per decode for the constant image K/V."""
+        return self._split(self.key(src)), self._split(self.value(src))
+
+    def attend(self, x: jax.Array, k: jax.Array, v: jax.Array,
+               attn_mask: Optional[jax.Array] = None, *,
+               deterministic: bool = True) -> jax.Array:
+        """Q from x over precomputed head-shaped K/V."""
         h = self.num_heads
         hd = self.hidden_size // h
-        kv_src = x if memory is None else memory
-
-        q = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=bert_normal_init, name="query")(x)
-        k = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=bert_normal_init, name="key")(kv_src)
-        v = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=bert_normal_init, name="value")(kv_src)
-
-        B, Lq = q.shape[0], q.shape[1]
-        Lk = k.shape[1]
-        q = q.reshape(B, Lq, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Lk, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Lk, h, hd).transpose(0, 2, 1, 3)
-
+        q = self._split(self.query(x))
+        B, Lq = x.shape[0], x.shape[1]
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd))
         if attn_mask is not None:
             scores = scores + attn_mask.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.attn_drop, deterministic=deterministic)(probs)
-
+        probs = self.attn_dropout(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, self.hidden_size)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype,
-                       kernel_init=bert_normal_init, name="out_dense")(ctx)
-        out = nn.Dropout(self.hidden_drop, deterministic=deterministic)(out)
-        return out
+        out = self.out_dense(ctx)
+        return self.out_dropout(out, deterministic=deterministic)
+
+    def decode_step(self, x_t: jax.Array, kv_cache, cache_index,
+                    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """One cached self-attention step: x_t (B, 1, D), kv_cache a
+        (k, v) pair of (B, h, L_max, hd) buffers, cache_index the write
+        position.  Returns (out (B, 1, D), updated cache)."""
+        k_cache, v_cache = kv_cache
+        k_t = self._split(self.key(x_t))    # (B, h, 1, hd)
+        v_t = self._split(self.value(x_t))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t.astype(k_cache.dtype), cache_index, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t.astype(v_cache.dtype), cache_index, axis=2)
+        # only positions <= cache_index are live keys
+        live = jnp.arange(k_cache.shape[2]) <= cache_index
+        mask = jnp.where(live, 0.0, NEG_INF)[None, None, None, :]
+        out = self.attend(x_t, k_cache, v_cache, attn_mask=mask,
+                          deterministic=True)
+        return out, (k_cache, v_cache)
+
+    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array] = None,
+                 memory: Optional[jax.Array] = None, *,
+                 deterministic: bool = True) -> jax.Array:
+        kv_src = x if memory is None else memory
+        k = self._split(self.key(kv_src))
+        v = self._split(self.value(kv_src))
+        return self.attend(x, k, v, attn_mask=attn_mask,
+                           deterministic=deterministic)
 
 
 class RobertaLayer(nn.Module):
@@ -200,6 +241,23 @@ class RobertaLayer(nn.Module):
         if last_norm:
             o = self.output_layer_norm(o)
         return o
+
+    def decode_step(self, x_t: jax.Array, self_cache, cache_index,
+                    image_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+                    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """One KV-cached decoder step: x_t (B, 1, D) is the new token's
+        hidden state, self_cache the layer's (k, v) buffers, image_kv the
+        precomputed (constant per decode) cross-attention K/V."""
+        a, new_cache = self.attention.decode_step(x_t, self_cache,
+                                                  cache_index)
+        if image_kv is not None:
+            c = self.crossattention_t2i.attend(a, *image_kv,
+                                               deterministic=True)
+            a = self.alpha_t2i.astype(self.dtype) * c + a
+        a = self.attn_layer_norm(a + x_t)
+        i = nn.gelu(self.intermediate_dense(a), approximate=False)
+        o = self.output_dense(i) + a
+        return self.output_layer_norm(o), new_cache
 
 
 class RobertaEncoderModel(nn.Module):

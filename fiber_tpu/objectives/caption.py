@@ -114,14 +114,117 @@ def beam_search_decode(model: FiberCoarse, variables,
     return ids, norm[jnp.arange(B), best]
 
 
+# ---------------------------------------------------------------------------
+# KV-cached decoders — the fast path.  Each step embeds ONE token and
+# attends over cached per-layer K/V (fiber.decode_caption_step), making a
+# step O(L) instead of the reference's O(L^2) full-prefix re-encode.  The
+# uncached decoders above are kept as the bit-parity oracle
+# (test_caption_cache.py asserts identical tokens).
+# ---------------------------------------------------------------------------
+def _init_cache(model, variables, image_embeds, max_len):
+    return model.apply(variables, image_embeds, max_len,
+                       method=FiberCoarse.init_caption_cache)
+
+
+def _cached_logits(model, variables, tok, pos, caches):
+    return model.apply(variables, tok, pos, caches,
+                       method=FiberCoarse.decode_caption_step)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "max_len"))
+def greedy_decode_cached(model: FiberCoarse, variables,
+                         image_embeds: jax.Array, bos_id: int, eos_id: int,
+                         pad_id: int, max_len: int) -> jax.Array:
+    """KV-cached greedy decode; token-identical to greedy_decode."""
+    B = image_embeds.shape[0]
+    caches = _init_cache(model, variables, image_embeds, max_len)
+    ids0 = jnp.full((B, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    done0 = jnp.zeros((B,), bool)
+
+    def body(state, t):
+        ids, done, caches = state
+        prev = jax.lax.dynamic_slice_in_dim(ids, t - 1, 1, axis=1)
+        logits, caches = _cached_logits(model, variables, prev, t - 1,
+                                        caches)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids, nxt[:, None], t, axis=1)
+        done = done | (nxt == eos_id)
+        return (ids, done, caches), None
+
+    (ids, _, _), _ = jax.lax.scan(body, (ids0, done0, caches),
+                                  jnp.arange(1, max_len))
+    return ids
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "max_len", "beam_size"))
+def beam_search_decode_cached(model: FiberCoarse, variables,
+                              image_embeds: jax.Array, bos_id: int,
+                              eos_id: int, pad_id: int, max_len: int,
+                              beam_size: int = 5,
+                              length_penalty: float = 1.0
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """KV-cached beam search; token-identical to beam_search_decode.
+
+    Per step the per-layer self-attention caches are gathered along the
+    winning beam indices (the image K/V are identical within a beam group
+    and stay in place)."""
+    B = image_embeds.shape[0]
+    K = beam_size
+    img = jnp.repeat(image_embeds, K, axis=0)
+    caches = _init_cache(model, variables, img, max_len)
+    ids0 = jnp.full((B * K, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    logp0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B,))
+    done0 = jnp.zeros((B * K,), bool)
+
+    def reorder(caches, beam_idx):
+        flat = beam_idx.reshape(-1)
+        return [{"self_kv": (c["self_kv"][0][flat], c["self_kv"][1][flat]),
+                 "image_kv": c["image_kv"]} for c in caches]
+
+    def body(state, t):
+        ids, logp, done, caches = state
+        prev = jax.lax.dynamic_slice_in_dim(ids, t - 1, 1, axis=1)
+        logits, caches = _cached_logits(model, variables, prev, t - 1,
+                                        caches)
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        Vn = lsm.shape[-1]
+        pad_only = jnp.full((Vn,), NEG_INF).at[pad_id].set(0.0)
+        lsm = jnp.where(done[:, None], pad_only[None, :], lsm)
+        cand = (logp[:, None] + lsm).reshape(B, K * Vn)
+        top_logp, top_idx = jax.lax.top_k(cand, K)
+        beam_idx = top_idx // Vn + jnp.arange(B)[:, None] * K
+        tok = (top_idx % Vn).astype(jnp.int32)
+        ids = ids[beam_idx.reshape(-1)]
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids, tok.reshape(-1, 1), t, axis=1)
+        caches = reorder(caches, beam_idx)
+        done = done[beam_idx.reshape(-1)] | (tok.reshape(-1) == eos_id) \
+            | (tok.reshape(-1) == pad_id)
+        return (ids, top_logp.reshape(-1), done, caches), None
+
+    (ids, logp, done, _), _ = jax.lax.scan(body, (ids0, logp0, done0,
+                                                  caches),
+                                           jnp.arange(1, max_len))
+    lengths = (ids != pad_id).sum(axis=-1).astype(jnp.float32)
+    norm = (logp / (lengths ** length_penalty)).reshape(B, K)
+    best = jnp.argmax(norm, axis=-1)
+    ids = ids.reshape(B, K, max_len)[jnp.arange(B), best]
+    return ids, norm[jnp.arange(B), best]
+
+
 def caption_images(model: FiberCoarse, variables, images: jax.Array,
                    bos_id: int, eos_id: int, pad_id: int,
-                   max_len: int = 20, beam_size: int = 5):
+                   max_len: int = 20, beam_size: int = 5,
+                   use_cache: bool = True):
     """Encode images once, then beam-decode (ref caption_test_step)."""
     img_emb = model.apply(variables, images,
                           method=FiberCoarse.encode_image_caption)
-    return beam_search_decode(model, variables, img_emb, bos_id, eos_id,
-                              pad_id, max_len, beam_size)
+    decode = beam_search_decode_cached if use_cache else beam_search_decode
+    return decode(model, variables, img_emb, bos_id, eos_id,
+                  pad_id, max_len, beam_size)
 
 
 # ---------------------------------------------------------------------------
