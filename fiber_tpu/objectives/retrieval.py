@@ -38,11 +38,38 @@ def _txt_fn(model, v, ids, msk):
                        method=FiberCoarse.encode_text_itc)["cls_feats"]
 
 
-@functools.partial(jax.jit, static_argnames="model")
-def _rank_fn(model, v, img, ids, msk):
+def _rank_raw(model, v, img, ids, msk):
     out = model.apply(v, img, ids, msk, method=FiberCoarse.infer)
     return model.apply(v, out["cls_feats"],
                        method=FiberCoarse.rank_scores)[:, 0]
+
+
+_rank_fn = jax.jit(_rank_raw, static_argnames="model")
+
+
+@functools.partial(jax.jit, static_argnames=("model", "pair_batch"))
+def _rank_pairs_scan(model, variables, images, text_ids, text_masks,
+                     pair_img, pair_txt, pair_batch: int):
+    """Score (pair_img, pair_txt) candidate pairs in ONE dispatch.
+
+    The whole corpus is staged on device once; a lax.scan gathers each
+    chunk's images/texts in HBM and runs the fused forward + rank head —
+    no per-chunk host round-trips (the round-1 rerank loop staged every
+    chunk through numpy, leaving the chip idle between dispatches).
+    pair_img/pair_txt: (n_chunks * pair_batch,) padded index arrays.
+    """
+    n = pair_img.shape[0]
+    bi = pair_img.reshape(n // pair_batch, pair_batch)
+    bt = pair_txt.reshape(n // pair_batch, pair_batch)
+
+    def chunk(_, idx):
+        ci, ct = idx
+        s = _rank_raw(model, variables, images[ci], text_ids[ct],
+                      text_masks[ct])
+        return None, s
+
+    _, scores = jax.lax.scan(chunk, None, (bi, bt))
+    return scores.reshape(-1)
 
 
 def encode_corpus(model: FiberCoarse, variables,
@@ -82,9 +109,15 @@ def itm_rerank_matrix(model: FiberCoarse, variables,
                       images: np.ndarray, text_ids: np.ndarray,
                       text_masks: np.ndarray, itc_i2t: np.ndarray,
                       rerank_topk: Optional[int] = 32,
-                      pair_batch: int = 64) -> np.ndarray:
+                      pair_batch: int = 64,
+                      on_device: bool = True) -> np.ndarray:
     """Rerank: fused forward + rank head on (image, text) candidate pairs
     (ref objectives.py:388-499 runs every pair; rerank_topk bounds it).
+
+    With on_device=True (default) the corpus is staged in HBM once and
+    every candidate pair is scored inside one jit dispatch
+    (_rank_pairs_scan); set False to fall back to the chunked host loop
+    when the corpus exceeds device memory.
 
     Returns (Ni, Nt) matrix of rank scores at the evaluated pairs and
     -inf elsewhere.
@@ -95,11 +128,22 @@ def itm_rerank_matrix(model: FiberCoarse, variables,
 
     pair_img = np.repeat(np.arange(Ni), k)
     pair_txt = top_txt.reshape(-1)
+    n_pairs = len(pair_img)
+    scores = np.full((Ni, Nt), -np.inf, np.float32)
+
+    if on_device:
+        pad = (-n_pairs) % pair_batch
+        pi = np.concatenate([pair_img, np.zeros(pad, np.int64)])
+        pt = np.concatenate([pair_txt, np.zeros(pad, np.int64)])
+        s = _rank_pairs_scan(model, variables,
+                             jnp.asarray(images, model.cfg.compute_dtype),
+                             jnp.asarray(text_ids, jnp.int32),
+                             jnp.asarray(text_masks, jnp.int32),
+                             jnp.asarray(pi), jnp.asarray(pt), pair_batch)
+        scores[pair_img, pair_txt] = np.asarray(s)[:n_pairs]
+        return scores
 
     rank_fn = functools.partial(_rank_fn, model)
-
-    scores = np.full((Ni, Nt), -np.inf, np.float32)
-    n_pairs = len(pair_img)
     for i in range(0, n_pairs, pair_batch):
         bi = pair_img[i:i + pair_batch]
         bt = pair_txt[i:i + pair_batch]
