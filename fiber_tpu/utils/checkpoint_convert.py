@@ -39,19 +39,50 @@ def _conv(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
 
 
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution weights for the 4 taps around fractional
+    offset t in [0, 1): positions (-1-t, -t, 1-t, 2-t).  a=-0.75 matches
+    torch's bicubic kernel (jax.image uses a=-0.5, which diverges from
+    the reference's F.interpolate by up to ~0.3 on RPB tables)."""
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+            np.where(x < 2,
+                     a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a,
+                     0.0))
+    offs = np.stack([-1 - t, -t, 1 - t, 2 - t], axis=-1)  # (N, 4)
+    return k(offs)
+
+
+def _bicubic_1d(x: np.ndarray, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False) along
+    axis 0 with edge clamping."""
+    in_size = x.shape[0]
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    w = _cubic_weights(t)                                  # (out, 4)
+    idx = np.clip(i0[:, None] + np.arange(-1, 3)[None, :], 0, in_size - 1)
+    return np.einsum("ot,ot...->o...", w, x[idx])
+
+
 def resize_relative_position_bias_table(table: np.ndarray,
                                         window_before: int,
                                         window_after: int) -> np.ndarray:
-    """Bicubic re-interpolation of the ((2w-1)^2, nH) RPB table
-    (behavior of ref swin_helpers.swin_adapt_position_encoding)."""
+    """Bicubic re-interpolation of the ((2w-1)^2, nH) RPB table — exact
+    semantics of ref swin_helpers.swin_adapt_position_encoding
+    (swin_helpers.py:20-44: F.interpolate bicubic, align_corners=False)."""
     if window_before == window_after:
         return table
     s_before = 2 * window_before - 1
     s_after = 2 * window_after - 1
     nh = table.shape[1]
-    grid = jnp.asarray(table, jnp.float32).reshape(s_before, s_before, nh)
-    out = jax.image.resize(grid, (s_after, s_after, nh), method="cubic")
-    return np.asarray(out).reshape(s_after * s_after, nh)
+    grid = np.asarray(table, np.float32).reshape(s_before, s_before, nh)
+    out = _bicubic_1d(grid, s_after)                       # rows
+    out = _bicubic_1d(out.transpose(1, 0, 2), s_after).transpose(1, 0, 2)
+    return out.reshape(s_after * s_after, nh)
 
 
 def _set(tree: Dict, path: str, value: np.ndarray):
