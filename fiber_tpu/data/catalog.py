@@ -104,3 +104,62 @@ for name in ("refcoco", "refcoco+", "refcocog"):
            ann_file=f"mdetr_annotations/finetune_{name}_{split}.json")
 _r("object365_train", "tsv", "detection",
    tsv_path="object365/train.tsv")
+
+# ---- remaining reference name set (paths_catalog.py:30-730), mapped to
+# our readers; COCO-style splits share the coco_json factory ------------
+for split, img, ann in (
+        ("coco_2014_train", "coco/train2014",
+         "coco/annotations/instances_train2014.json"),
+        ("coco_2014_val", "coco/val2014",
+         "coco/annotations/instances_val2014.json"),
+        ("coco_2014_minival", "coco/val2014",
+         "coco/annotations/instances_minival2014.json"),
+        ("coco_2014_valminusminival", "coco/val2014",
+         "coco/annotations/instances_valminusminival2014.json"),
+        ("coco_2017_test", "coco/test2017",
+         "coco/annotations/image_info_test2017.json"),
+        ("coco_keypoint_2017_train", "coco/train2017",
+         "coco/annotations/person_keypoints_train2017.json"),
+        ("coco_keypoint_2017_val", "coco/val2017",
+         "coco/annotations/person_keypoints_val2017.json"),
+        ("lvis_train", "coco",
+         "lvis/lvis_v1_train.json"),
+        ("lvis_val", "coco",
+         "lvis/lvis_v1_val.json"),
+        ("lvis_evaluation_val", "coco",
+         "lvis/lvis_od_val.json"),
+        ("lvis_grounding_train", "coco",
+         "lvis/lvis_od_train.json"),
+        ("object365_dt_train", "object365/images",
+         "object365/objects365_train.json"),
+        ("imagenetod_train_odinw_2copy_dt", "imagenetod/images",
+         "imagenetod/train.json"),
+        ("crowdhuman_train", "crowdhuman/images",
+         "crowdhuman/annotation_train.json"),
+        ("crowdhuman_val", "crowdhuman/images",
+         "crowdhuman/annotation_val.json"),
+):
+    _r(split, "coco_json", "detection", img_root=img, ann_file=ann)
+
+for n in range(1, 11):  # few-shot COCO subsets (coco_2014_train_few*)
+    _r(f"coco_2014_train_few{n * 100}", "coco_json", "detection",
+       img_root="coco/train2014",
+       ann_file=f"coco/annotations/instances_train2014_few{n * 100}.json")
+
+_r("mixed_train", "jsonl", "grounding",
+   img_root="mixed",
+   ann_file="mdetr_annotations/final_mixed_train.json")
+_r("gqa_val", "jsonl", "grounding",
+   img_root="gqa/images",
+   ann_file="mdetr_annotations/final_gqa_val.json")
+_r("phrasecut_train", "jsonl", "grounding",
+   img_root="phrasecut/images",
+   ann_file="mdetr_annotations/finetune_phrasecut_train.json")
+_r("bing_caption_train", "tsv", "caption",
+   tsv_path="bing/caption_train.tsv")
+for split in ("train", "val", "test"):
+    _r(f"cityscapes_fine_instanceonly_seg_{split}_cocostyle", "coco_json",
+       "detection", img_root=f"cityscapes/{split}",
+       ann_file=f"cityscapes/annotations/instancesonly_{split}.json")
+# ODinW 13/35 datasets register at runtime through DatasetCatalog.set
+# (ref data/build.py:288-300) — same mechanism here.

@@ -100,9 +100,18 @@ class GroundingDetector(nn.Module):
         return {"head_out": head_out, "lang": lang}
 
 
-def detector_anchors(cfg: DetectorConfig):
-    """(concat anchors (N,4) jnp, per-level sizes, per-level arrays)."""
-    per_level = fpn_anchors(cfg.feat_sizes(), strides=cfg.anchor_strides,
+def detector_anchors(cfg: DetectorConfig, image_size=None):
+    """(concat anchors (N,4) jnp, per-level sizes, per-level arrays).
+
+    image_size overrides cfg.image_size for multi-scale buckets (the
+    input pipeline pads each batch to one of a fixed bucket set and jit
+    compiles one program per bucket, data/loader.py)."""
+    if image_size is None:
+        feat = cfg.feat_sizes()
+    else:
+        H, W = image_size
+        feat = [(-(-H // s), -(-W // s)) for s in cfg.anchor_strides]
+    per_level = fpn_anchors(tuple(feat), strides=cfg.anchor_strides,
                             sizes=cfg.anchor_sizes)
     sizes = tuple(a.shape[0] for a in per_level)
     cat = jnp.asarray(np.concatenate(per_level, axis=0))
@@ -117,7 +126,8 @@ def detection_loss(model: GroundingDetector, variables, batch, *,
     out = model.apply(variables, batch["images"], batch["input_ids"],
                       batch["attention_mask"], deterministic=not train,
                       rngs=rngs)
-    anchors, level_sizes, _ = detector_anchors(cfg)
+    anchors, level_sizes, _ = detector_anchors(
+        cfg, batch["images"].shape[1:3])
     losses = atss_grounding_loss(
         out["head_out"], anchors, level_sizes, batch["gt_boxes"],
         batch["gt_valid"], batch["positive_map"], batch["attention_mask"],
@@ -131,6 +141,6 @@ def detection_inference(model: GroundingDetector, variables, batch,
     cfg = model.cfg
     out = model.apply(variables, batch["images"], batch["input_ids"],
                       batch["attention_mask"], deterministic=True)
-    _, _, per_level = detector_anchors(cfg)
+    _, _, per_level = detector_anchors(cfg, batch["images"].shape[1:3])
     return atss_postprocess(out["head_out"], per_level, agg_matrix,
                             batch["image_sizes"], **pp_kwargs)

@@ -288,8 +288,11 @@ class VLDyHead(nn.Module):
         # text projection: normalized embedding, /2.0, linear; bias from
         # embedding @ bias_lang + bias0 (ref vldyhead.py:789-800)
         emb = lang_embedding.astype(jnp.float32)
-        emb = emb / jnp.maximum(
-            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        # safe L2 normalize: jnp.linalg.norm has NaN gradients at exactly
+        # zero rows (padded text positions are zeroed upstream); torch's
+        # F.normalize subgradient there is 0 — sqrt(sum+eps) matches it
+        norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True) + 1e-24)
+        emb = emb / jnp.maximum(norm, 1e-12)
         proj_tokens = self.dot_product_projection_text(
             (emb / 2.0).astype(self.dtype))            # (B, T, A*C)
         token_bias = emb @ self.bias_lang + self.bias0  # (B, T)

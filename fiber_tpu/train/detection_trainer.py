@@ -201,3 +201,41 @@ class DetectionTrainer:
         metrics["finite"] = finite.astype(jnp.float32)
         return DetTrainState(step=state.step + 1, params=new_params,
                              opt_state=new_opt, ema_params=ema), metrics
+
+
+class MultiScaleDetectionTrainer:
+    """Multi-scale training over the loader's fixed bucket set.
+
+    The reference resizes every batch to a random MULT_MIN_SIZE_TRAIN
+    scale (transforms.py Resize); on TPU each bucket shape gets its own
+    jit-compiled step (the flax model is rebuilt per bucket since block
+    resolutions are static), all sharing ONE param/optimizer state —
+    weights are shape-independent (convs/denses/window-relative biases).
+    """
+
+    def __init__(self, cfg: DetectorConfig, **trainer_kwargs):
+        import dataclasses
+        self.base_cfg = cfg
+        self.trainer_kwargs = trainer_kwargs
+        self._replace = dataclasses.replace
+        self.primary = DetectionTrainer(cfg, **trainer_kwargs)
+        self._trainers: Dict[Tuple[int, int], DetectionTrainer] = {
+            tuple(cfg.image_size): self.primary}
+
+    def init_state(self, rng: jax.Array) -> DetTrainState:
+        return self.primary.init_state(rng)
+
+    def trainer_for(self, image_size: Tuple[int, int]) -> "DetectionTrainer":
+        key = tuple(int(s) for s in image_size)
+        if key not in self._trainers:
+            t = DetectionTrainer(
+                self._replace(self.base_cfg, image_size=key),
+                **self.trainer_kwargs)
+            t._tx = self.primary._tx  # shared optimizer/schedule state
+            self._trainers[key] = t
+        return self._trainers[key]
+
+    def train_step(self, state: DetTrainState, batch, rng,
+                   lr_scale: jax.Array = jnp.float32(1.0)):
+        t = self.trainer_for(batch["images"].shape[1:3])
+        return t.train_step(state, batch, rng, lr_scale)
