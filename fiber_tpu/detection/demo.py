@@ -21,19 +21,105 @@ from fiber_tpu.detection.postprocess import label_to_token_matrix
 from fiber_tpu.data.od_to_grounding import char_spans_to_token_ids
 
 
+# closed-class words that terminate a noun phrase (heuristic chunker for
+# the zero-egress environment where the reference's NLTK models are
+# unavailable; nltk's grammar chunker is used when its data exists)
+_NP_BREAKERS = frozenset(
+    "a an the is are was were be been being and or but of on in at to "
+    "with for from by over under near behind chasing eating running "
+    "wearing holding riding next beside above below across through "
+    "that this these those there it its his her their".split())
+
+
 def find_noun_phrases(caption: str) -> List[Tuple[int, int]]:
-    """Cheap phrase spans: '.'-separated segments (the reference uses an
-    NLTK NER pass, predictor_FIBER.py run_ner:106; period-separated
-    prompts are the detection convention)."""
+    """Noun-phrase char spans (ref predictor_FIBER.py:106 run_ner uses an
+    NLTK POS pass + grammar 'NP: {<DT>?<JJ.*>*<NN.*>+}').  When the NLTK
+    models are available they are used; otherwise a closed-class-word
+    chunker approximates the same spans: maximal runs of non-breaker
+    words ending in a noun candidate."""
+    try:
+        import nltk
+        tokens = nltk.word_tokenize(caption.lower())
+        pos_tags = nltk.pos_tag(tokens)
+        grammar = "NP: {<DT>?<JJ.*>*<NN.*>+}"
+        cp = nltk.RegexpParser(grammar)
+        tree = cp.parse(pos_tags)
+        spans = []
+        cursor = 0
+        for sub in tree.subtrees(lambda t: t.label() == "NP"):
+            phrase = " ".join(w for w, _ in sub.leaves())
+            m = re.search(re.escape(phrase), caption.lower()[cursor:])
+            if m:
+                spans.append((cursor + m.start(), cursor + m.end()))
+                cursor += m.end()
+        if spans:
+            return spans
+    except LookupError:
+        pass
+    except ImportError:
+        pass
+
     spans = []
-    pos = 0
-    for seg in caption.split("."):
-        seg_strip = seg.strip()
-        if seg_strip:
-            start = caption.index(seg_strip, pos)
-            spans.append((start, start + len(seg_strip)))
-        pos += len(seg) + 1
+    for seg_m in re.finditer(r"[^.,;!?]+", caption):
+        words = list(re.finditer(r"\w+", seg_m.group(0)))
+        chunk: List[re.Match] = []
+        for w in words + [None]:
+            if w is None or w.group(0).lower() in _NP_BREAKERS:
+                if chunk:
+                    s = seg_m.start() + chunk[0].start()
+                    e = seg_m.start() + chunk[-1].end()
+                    spans.append((s, e))
+                chunk = []
+            else:
+                chunk.append(w)
     return spans
+
+
+def run_ner(caption: str,
+            refexp_mode: bool = False) -> List[List[Tuple[int, int]]]:
+    """tokens_positive lists per entity, marking EVERY occurrence of each
+    noun phrase (ref predictor_FIBER.py:106-131 run_ner)."""
+    if refexp_mode:
+        return [[(0, len(caption))]]
+    phrases = [caption[s:e] for s, e in find_noun_phrases(caption)]
+    tokens_positive = []
+    for phrase in dict.fromkeys(p for p in phrases if p):
+        occ = [(m.start(), m.end())
+               for m in re.finditer(re.escape(phrase.lower()),
+                                    caption.lower())]
+        if occ:
+            tokens_positive.append(occ)
+    return tokens_positive
+
+
+_PALETTE = [(230, 60, 60), (60, 160, 230), (60, 200, 120), (240, 180, 40),
+            (170, 90, 230), (240, 120, 200), (120, 220, 220), (250, 140, 70)]
+
+
+def render_detections(image_u8: np.ndarray, boxes: np.ndarray,
+                      labels: Sequence[str],
+                      scores: Optional[np.ndarray] = None,
+                      masks: Optional[np.ndarray] = None,
+                      width: int = 2) -> np.ndarray:
+    """Draw boxes (+ optional masks) with labels onto a copy of the image
+    (ref predictor_FIBER overlay_boxes/overlay_class_names/overlay_mask)."""
+    from PIL import Image, ImageDraw
+    img = Image.fromarray(image_u8).convert("RGB")
+    if masks is not None:
+        overlay = np.asarray(img, np.float32)
+        for i, m in enumerate(masks):
+            color = np.asarray(_PALETTE[i % len(_PALETTE)], np.float32)
+            mm = m.astype(bool)
+            overlay[mm] = 0.5 * overlay[mm] + 0.5 * color
+        img = Image.fromarray(overlay.astype(np.uint8))
+    draw = ImageDraw.Draw(img)
+    for i, (box, label) in enumerate(zip(boxes, labels)):
+        color = _PALETTE[i % len(_PALETTE)]
+        x1, y1, x2, y2 = [float(v) for v in box]
+        draw.rectangle([x1, y1, x2, y2], outline=color, width=width)
+        text = label if scores is None else f"{label} {scores[i]:.2f}"
+        draw.text((x1 + 2, max(y1 - 12, 0)), text, fill=color)
+    return np.asarray(img)
 
 
 class GroundingDemo:
