@@ -52,6 +52,8 @@ class DetectorConfig:
     use_deform: bool = True
     atss_topk: int = 9
     reg_loss_weight: float = 2.0
+    fusion_version: str = "v2"       # fusion_swin_transformer v1|v2|v3
+    add_linear_layer: bool = False   # tunable text prompt (prompt tuning)
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -82,7 +84,9 @@ class GroundingDetector(nn.Module):
             num_fuse_block=c.num_fuse_block, out_channels=c.out_channels,
             vocab_size=c.vocab_size, lang_dim=c.lang_dim,
             num_text_heads=c.num_text_heads,
-            max_query_len=c.max_query_len, dtype=c.compute_dtype)
+            max_query_len=c.max_query_len,
+            fusion_version=c.fusion_version,
+            add_linear_layer=c.add_linear_layer, dtype=c.compute_dtype)
         self.rpn = VLDyHead(
             num_convs=c.num_dyhead_convs, in_channels=c.out_channels,
             channels=c.out_channels, lang_dim=c.lang_dim,

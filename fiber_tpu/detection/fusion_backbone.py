@@ -2,7 +2,14 @@
 per-stage FPN taps.
 
 Behavioral spec: modeling/backbone/fusion_swin_transformer_v2.py:803-953
-(the shipped "fusion v2" forward):
+(the shipped "fusion v2" forward), with fusion_version selecting the
+sibling variants: "v1" (fusion_swin_transformer.py:802-942 — asymmetric:
+stage-3 fuses i2t only on its last v1_num_pre blocks with NO text
+updates, the text stream fuses only at stage 4 through dedicated
+1024->768 image projections cross_modal_image_transform2/3) and "v3"
+(fusion_swin_transformer_v3.py — v2 plus a LayerNorm on the i2t image
+queries).  The v2/v1 i2t attention has no query norm; the coarse stack
+and v3 do (i2t_query_norm):
 
   text embeddings + text layers 0-5
   Swin stages 1-2 unfused (per-stage LayerNorm taps -> outs)
@@ -54,6 +61,12 @@ class FusionSwinFPN(nn.Module):
     num_text_layers: int = 12
     num_text_heads: int = 12
     max_query_len: int = 256
+    fusion_version: str = "v2"   # v1 | v2 | v3
+    v1_num_pre_block: int = 9    # ref fusion_swin_transformer.py:866
+    # zero-init tunable prompt added to the text embeddings
+    # (ref fusion_swin_transformer.py:810-814 tunable_linear;
+    # enabled by the language_prompt_v2/v4 tuning modes)
+    add_linear_layer: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
@@ -69,7 +82,10 @@ class FusionSwinFPN(nn.Module):
             if s < 2:
                 fuse = tuple(False for _ in range(depth))
             elif s == 2:
-                n_tail = self.num_fuse_block - self.depths[3]
+                if self.fusion_version == "v1":
+                    n_tail = depth - self.v1_num_pre_block
+                else:
+                    n_tail = self.num_fuse_block - self.depths[3]
                 fuse = tuple(i >= depth - n_tail for i in range(depth))
             else:
                 fuse = tuple(True for _ in range(depth))
@@ -82,10 +98,21 @@ class FusionSwinFPN(nn.Module):
                 drop=0.0, attn_drop=0.0,
                 drop_path=tuple(dpr[lo:lo + depth]),
                 has_downsample=(s < len(self.depths) - 1),
-                fuse_flags=fuse, pad_to_window=True,
+                fuse_flags=fuse,
+                i2t_query_norm=(self.fusion_version == "v3"),
+                pad_to_window=True,
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layers_{s}"))
         self.stages = stages
+        if self.fusion_version == "v1":
+            # stage-4 text fusion reads projected image tokens
+            # (ref fusion_swin_transformer.py:806-808, 906-917)
+            self.cross_modal_image_transform2 = nn.Dense(
+                self.lang_dim, dtype=self.dtype,
+                name="cross_modal_image_transform2")
+            self.cross_modal_image_transform3 = nn.Dense(
+                self.lang_dim, dtype=self.dtype,
+                name="cross_modal_image_transform3")
         # per-stage output norms (ref swint `norm{i}` taps)
         self.out_norms = [
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm_{s}")
@@ -101,6 +128,10 @@ class FusionSwinFPN(nn.Module):
             name="language_backbone")
         self.fpn = FPN(out_channels=self.out_channels, dtype=self.dtype,
                        name="fpn")
+        if self.add_linear_layer:
+            self.tunable_linear = self.param(
+                "tunable_linear", nn.initializers.zeros,
+                (1000, self.lang_dim), jnp.float32)
 
     def __call__(self, images: jax.Array, input_ids: jax.Array,
                  attention_mask: jax.Array, *,
@@ -111,11 +142,15 @@ class FusionSwinFPN(nn.Module):
         x = self.patch_embed(images)
 
         text = self.text.embeddings(input_ids, deterministic=deterministic)
+        if self.add_linear_layer:
+            T = text.shape[1]
+            text = text + self.tunable_linear[None, :T].astype(text.dtype)
         ext_mask = extended_attention_mask(attention_mask, self.dtype)
         text_bias = ((1.0 - attention_mask.astype(jnp.float32)) * -10000.0
                      ).astype(self.dtype)
 
-        n_pre_text = self.num_text_layers - self.num_fuse_block
+        n_pre_text = (10 if self.fusion_version == "v1"
+                      else self.num_text_layers - self.num_fuse_block)
         for i in range(n_pre_text):
             text = self.text.layers[i](text, attn_mask=ext_mask,
                                        deterministic=deterministic)
@@ -129,13 +164,20 @@ class FusionSwinFPN(nn.Module):
             outs.append(self.out_norms[s](x))
             x = stage.downsample(x)
 
-        # stage 3: plain blocks then fused interleave
+        # stage 3: plain blocks then fused interleave (v1: i2t-only —
+        # the text stream is untouched until stage 4)
         stage3 = self.stages[2]
-        n_tail = self.num_fuse_block - self.depths[3]
-        n_pre_block = self.depths[2] - n_tail
+        if self.fusion_version == "v1":
+            n_pre_block = self.v1_num_pre_block
+        else:
+            n_tail = self.num_fuse_block - self.depths[3]
+            n_pre_block = self.depths[2] - n_tail
         for bi, blk in enumerate(stage3.blocks):
             if bi < n_pre_block:
                 x = blk(x, deterministic=deterministic)
+            elif self.fusion_version == "v1":
+                x = blk(x, text=text, text_bias=text_bias,
+                        deterministic=deterministic)
             else:
                 B, H, W, C3 = x.shape
                 img_tokens = x.reshape(B, H * W, C3)
@@ -149,14 +191,22 @@ class FusionSwinFPN(nn.Module):
         x = stage3.downsample(x)
 
         # stage 4: both blocks fused (no deferred LayerNorm here,
-        # ref fusion_swin_transformer_v2.py:906-938)
+        # ref fusion_swin_transformer_v2.py:906-938); v1 feeds the text
+        # layers 1024->768 projected image tokens instead
         stage4 = self.stages[3]
         for bi, blk in enumerate(stage4.blocks):
             B, H, W, C4 = x.shape
             img_tokens = x.reshape(B, H * W, C4)
             fused_x = blk(x, text=text, text_bias=text_bias,
                           deterministic=deterministic)
-            text = self.text.layers[n_pre_text + n_tail + bi](
+            if self.fusion_version == "v1":
+                proj = (self.cross_modal_image_transform2 if bi == 0
+                        else self.cross_modal_image_transform3)
+                img_tokens = proj(img_tokens)
+                text_layer = self.text.layers[10 + bi]
+            else:
+                text_layer = self.text.layers[n_pre_text + n_tail + bi]
+            text = text_layer(
                 text, attn_mask=ext_mask, image_feats=img_tokens,
                 deterministic=deterministic)
             x = fused_x

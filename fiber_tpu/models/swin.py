@@ -127,6 +127,10 @@ class WindowAttention(nn.Module):
     window: int
     num_heads: int
     fuse_text: bool = False
+    # LayerNorm on the i2t image queries: present in the coarse stack and
+    # detection fusion v3 (swin_transformer.py:193, _v3.py:135), ABSENT in
+    # detection fusion v1/v2
+    i2t_query_norm: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
@@ -183,8 +187,10 @@ class WindowAttention(nn.Module):
             k_t = kv_t[:, :, 0].transpose(0, 2, 1, 3)   # (B, h, Lt, hd)
             v_t = kv_t[:, :, 1].transpose(0, 2, 1, 3)
 
-            xq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                              name="norm_i2t_i")(out)
+            xq = out
+            if self.i2t_query_norm:
+                xq = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="norm_i2t_i")(out)
             q_t = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                            name="qkv_i2t")(xq)
             q_t = q_t.reshape(B, nW * N, h, hd).transpose(0, 2, 1, 3)
@@ -223,6 +229,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fuse_text: bool = False
+    i2t_query_norm: bool = True
     use_pallas: bool = False
     # Detection-flavor blocks keep the configured window and statically pad
     # feature maps to window multiples instead of clamping the window
@@ -246,7 +253,9 @@ class SwinBlock(nn.Module):
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn = WindowAttention(
             dim=self.dim, window=window, num_heads=self.num_heads,
-            fuse_text=self.fuse_text, attn_drop=self.attn_drop,
+            fuse_text=self.fuse_text,
+            i2t_query_norm=self.i2t_query_norm,
+            attn_drop=self.attn_drop,
             proj_drop=self.drop, use_pallas=self.use_pallas,
             dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -332,6 +341,7 @@ class SwinStage(nn.Module):
     has_downsample: bool
     # per-block fusion flags
     fuse_flags: Tuple[bool, ...] = ()
+    i2t_query_norm: bool = True
     pad_to_window: bool = False
     use_pallas: bool = False
     # jax.checkpoint each block (ref use_checkpoint,
@@ -353,7 +363,9 @@ class SwinStage(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
-                fuse_text=fuse[i], pad_to_window=self.pad_to_window,
+                fuse_text=fuse[i],
+                i2t_query_norm=self.i2t_query_norm,
+                pad_to_window=self.pad_to_window,
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"blocks_{i}")
             for i in range(self.depth)

@@ -21,26 +21,58 @@ import jax
 import numpy as np
 import optax
 
-TUNING_MODES = ("full", "linear_prob", "prompt_tuning", "lang_tuning")
+TUNING_MODES = ("full", "linear_prob", "language_prompt_v1",
+                "language_prompt_v2", "language_prompt_v3",
+                "language_prompt_v4")
+
+# exact flag table of tuning_highlevel_override (ref finetune.py:246-294)
+TUNING_FLAGS = {
+    #                   backbone fpn   rpn   linear_prob add_linear lang
+    "full":              (False, False, False, False, False, False),
+    "linear_prob":       (True,  True,  False, True,  False, True),
+    "language_prompt_v1": (True, True,  True,  False, False, False),
+    "language_prompt_v2": (True, True,  True,  False, True,  True),
+    "language_prompt_v3": (True, True,  True,  True,  False, False),
+    "language_prompt_v4": (True, True,  True,  True,  True,  True),
+}
+
+_LINEAR_PROB_HEADS = ("cls_logits", "bbox_pred", "centerness",
+                      "dot_product_projection_text", "bias_lang",
+                      "bias0", "log_scale", "scales")
+
+
+def tuning_highlevel_override(mode: str) -> Dict[str, bool]:
+    """{flag: frozen/enabled} for a tuning mode (ref finetune.py:246-294)."""
+    b, f, r, lp, al, lang = TUNING_FLAGS[mode]
+    return {"backbone_freeze": b, "fpn_freeze": f, "rpn_freeze": r,
+            "linear_prob": lp, "add_linear_layer": al,
+            "language_backbone_freeze": lang}
 
 
 def trainable_mask(params, mode: str):
-    """True = trainable, per tuning mode."""
+    """True = trainable, derived from the reference's freeze flags.
+
+    Param-tree regions: the fused vision trunk (backbone/patch_embed +
+    layers_*), the FPN, the language backbone, the head (everything under
+    the dyhead/rpn), and the prompt tunable_linear."""
+    flags = tuning_highlevel_override(mode)
+
     def decide(path, _leaf) -> bool:
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
         if mode == "full":
-            return True
-        if mode == "linear_prob":
-            return any(h in name for h in
-                       ("cls_logits", "bbox_pred", "centerness",
-                        "dot_product_projection_text", "bias_lang",
-                        "bias0", "log_scale", "scales"))
-        if mode == "prompt_tuning":
-            return "dot_product_projection_text" in name or \
-                "bias_lang" in name or "bias0" in name
-        if mode == "lang_tuning":
-            return "language_backbone" in name
-        raise ValueError(mode)
+            return True  # everything that exists trains
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "tunable_linear" in name:
+            return flags["add_linear_layer"]
+        if "language_backbone" in name:
+            return not flags["language_backbone_freeze"]
+        if "fpn" in name:
+            return not flags["fpn_freeze"]
+        if any(s in name for s in ("patch_embed", "layers_", "out_norm")):
+            return not flags["backbone_freeze"]
+        # remaining params belong to the head/rpn
+        if flags["linear_prob"]:
+            return any(h in name for h in _LINEAR_PROB_HEADS)
+        return not flags["rpn_freeze"]
 
     return jax.tree_util.tree_map_with_path(decide, params)
 

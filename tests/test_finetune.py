@@ -11,28 +11,55 @@ from fiber_tpu.train.finetune import (EarlyStopper, apply_tuning_mode,
 
 def _toy_params():
     return {
-        "backbone": {"layers_0": {"kernel": jnp.ones((2, 2))}},
+        "backbone": {"layers_0": {"kernel": jnp.ones((2, 2))},
+                     "fpn": {"lateral": {"kernel": jnp.ones((2, 2))}},
+                     "tunable_linear": jnp.zeros((4, 2))},
         "language_backbone": {"layer_0": {"kernel": jnp.ones((2, 2))}},
         "rpn": {"cls_logits": {"kernel": jnp.ones((2, 2))},
+                "tower": {"conv0": {"kernel": jnp.ones((2, 2))}},
                 "dot_product_projection_text": {"kernel": jnp.ones((2, 2))},
                 "bias_lang": jnp.ones((2,))},
     }
 
 
 def test_trainable_masks():
+    """The exact tuning_highlevel_override registry
+    (ref finetune.py:246-294)."""
     p = _toy_params()
     full = trainable_mask(p, "full")
     assert all(jax.tree_util.tree_leaves(full))
+
     lin = trainable_mask(p, "linear_prob")
     assert lin["rpn"]["cls_logits"]["kernel"]
+    assert not lin["rpn"]["tower"]["conv0"]["kernel"]
     assert not lin["backbone"]["layers_0"]["kernel"]
+    assert not lin["backbone"]["fpn"]["lateral"]["kernel"]
     assert not lin["language_backbone"]["layer_0"]["kernel"]
-    pt = trainable_mask(p, "prompt_tuning")
-    assert pt["rpn"]["dot_product_projection_text"]["kernel"]
-    assert not pt["rpn"]["cls_logits"]["kernel"]
-    lt = trainable_mask(p, "lang_tuning")
-    assert lt["language_backbone"]["layer_0"]["kernel"]
-    assert not lt["rpn"]["cls_logits"]["kernel"]
+
+    # v1: only the language backbone trains
+    v1 = trainable_mask(p, "language_prompt_v1")
+    assert v1["language_backbone"]["layer_0"]["kernel"]
+    assert not v1["rpn"]["cls_logits"]["kernel"]
+    assert not v1["backbone"]["layers_0"]["kernel"]
+    assert not v1["backbone"]["tunable_linear"]
+
+    # v2: only the tunable prompt linear trains
+    v2 = trainable_mask(p, "language_prompt_v2")
+    assert v2["backbone"]["tunable_linear"]
+    assert not v2["language_backbone"]["layer_0"]["kernel"]
+    assert not v2["rpn"]["cls_logits"]["kernel"]
+
+    # v3: language backbone + linear probe heads
+    v3 = trainable_mask(p, "language_prompt_v3")
+    assert v3["language_backbone"]["layer_0"]["kernel"]
+    assert v3["rpn"]["cls_logits"]["kernel"]
+    assert not v3["rpn"]["tower"]["conv0"]["kernel"]
+
+    # v4: prompt linear + linear probe heads
+    v4 = trainable_mask(p, "language_prompt_v4")
+    assert v4["backbone"]["tunable_linear"]
+    assert v4["rpn"]["cls_logits"]["kernel"]
+    assert not v4["language_backbone"]["layer_0"]["kernel"]
 
 
 def test_apply_tuning_mode_freezes_updates():
