@@ -180,6 +180,9 @@ void cider_score(void* handle, const int32_t* tokens,
 
 // Greedy NMS: boxes (n, 4) xyxy row-major, scores (n).  Writes kept
 // indices (score-descending) to `keep` and returns the count.
+// Legacy +1 box extents and >=-threshold suppression: the exact
+// semantics of the reference kernel (csrc/cpu/nms_cpu.cpp:22-61) and of
+// the XLA path (fiber_tpu/detection/boxes.py nms / box_iou_legacy).
 int nms_host(const float* boxes, const float* scores, int n,
              float iou_threshold, int max_outputs, int32_t* keep) {
   std::vector<int> order(n);
@@ -188,8 +191,8 @@ int nms_host(const float* boxes, const float* scores, int n,
             [&](int a, int b) { return scores[a] > scores[b]; });
   std::vector<char> removed(n, 0);
   auto area = [&](int i) {
-    float w = std::max(0.f, boxes[i * 4 + 2] - boxes[i * 4 + 0]);
-    float h = std::max(0.f, boxes[i * 4 + 3] - boxes[i * 4 + 1]);
+    float w = std::max(0.f, boxes[i * 4 + 2] - boxes[i * 4 + 0] + 1.f);
+    float h = std::max(0.f, boxes[i * 4 + 3] - boxes[i * 4 + 1] + 1.f);
     return w * h;
   };
   int count = 0;
@@ -204,9 +207,10 @@ int nms_host(const float* boxes, const float* scores, int n,
       float y1 = std::max(boxes[i * 4 + 1], boxes[j * 4 + 1]);
       float x2 = std::min(boxes[i * 4 + 2], boxes[j * 4 + 2]);
       float y2 = std::min(boxes[i * 4 + 3], boxes[j * 4 + 3]);
-      float inter = std::max(0.f, x2 - x1) * std::max(0.f, y2 - y1);
+      float inter = std::max(0.f, x2 - x1 + 1.f) *
+                    std::max(0.f, y2 - y1 + 1.f);
       float uni = area(i) + area(j) - inter;
-      if (uni > 0 && inter / uni > iou_threshold) removed[j] = 1;
+      if (uni > 0 && inter / uni >= iou_threshold) removed[j] = 1;
     }
   }
   return count;
