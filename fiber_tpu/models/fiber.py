@@ -135,48 +135,72 @@ class FiberCoarse(nn.Module):
         return {"text_feats": x, "cls_feats": cls}
 
     # ------------------------------------------------------------------
-    # Fused forward (the hot path)
+    # Fused forward (the hot path) — expressed as
+    # trunk(image-only) + prefix(text-only) + fused tail, so serving
+    # pipelines can cache the text-independent pieces per image/text
+    # (the reference recomputes the full forward per rerank pair,
+    # objectives.py:388-499).
     # ------------------------------------------------------------------
-    def infer(self, img: jax.Array, text_ids: jax.Array,
-              text_masks: jax.Array, *,
-              deterministic: bool = True) -> Dict[str, jax.Array]:
-        """Interleaved fusion forward (ref: fiber_module.py:310-367).
-
-        img: (B, S, S, 3) NHWC.  Returns text_feats (B, Lt, hs),
-        image_feats (B, Li, hs), cls_feats (B, 2*hs).
-        """
+    def encode_image_trunk(self, img: jax.Array, *,
+                           deterministic: bool = True) -> jax.Array:
+        """Text-independent image trunk: patch embed + stages 1-2 + the
+        unfused stage-3 prefix (blocks 0..n_pre_block-1).  Returns
+        (B, H3, W3, C3) stage-3 activations — the exact input of the
+        first fused block.  ~85% of the per-pair FLOPs live here, all
+        reusable across every text paired with the image."""
         c = self.cfg
-        dt = c.compute_dtype
-
         x = self.swin.embed(img, deterministic=deterministic)
         for s in range(2):
             x = self.swin.stages[s](x, deterministic=deterministic)
+        stage3 = self.swin.stages[2]
+        n_tail = c.num_fuse_block - c.swin_depths[3]
+        n_pre_block = c.swin_depths[2] - n_tail
+        for bi in range(n_pre_block):
+            x = stage3.blocks[bi](x, deterministic=deterministic)
+        return x
 
+    def encode_text_pre(self, text_ids: jax.Array, text_masks: jax.Array, *,
+                        deterministic: bool = True) -> jax.Array:
+        """Image-independent text prefix: embeddings + the first
+        (num_text_layers - num_fuse_block) layers.  Returns (B, Lt, ht),
+        the exact text state entering the first fused block."""
+        c = self.cfg
         text = self.text.embeddings(text_ids, deterministic=deterministic)
+        ext_mask = extended_attention_mask(text_masks, c.compute_dtype)
+        n_pre_text = c.num_text_layers - c.num_fuse_block
+        for i in range(n_pre_text):
+            text = self.text.layers[i](text, attn_mask=ext_mask,
+                                       deterministic=deterministic)
+        return text
+
+    def infer_fused_tail(self, trunk: jax.Array, text: jax.Array,
+                         text_masks: jax.Array, *,
+                         deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Fused interleave from cached (trunk, text-prefix) states:
+        stage-3 fused tail + stage-4 + transforms/poolers.  Composes with
+        encode_image_trunk/encode_text_pre to EXACTLY reproduce infer()
+        (tests/test_retrieval_caption.py parity)."""
+        c = self.cfg
+        dt = c.compute_dtype
+        x = trunk
         ext_mask = extended_attention_mask(text_masks, dt)
         text_bias = ((1.0 - text_masks.astype(jnp.float32)) * -10000.0
                      ).astype(dt)  # (B, Lt) additive for i2t attention
 
         n_pre_text = c.num_text_layers - c.num_fuse_block
-        for i in range(n_pre_text):
-            text = self.text.layers[i](text, attn_mask=ext_mask,
-                                       deterministic=deterministic)
-
         stage3 = self.swin.stages[2]
         n_tail = c.num_fuse_block - c.swin_depths[3]
         n_pre_block = c.swin_depths[2] - n_tail
-        for bi, blk in enumerate(stage3.blocks):
-            if bi < n_pre_block:
-                x = blk(x, deterministic=deterministic)
-            else:
-                B, H, W, C3 = x.shape
-                img_tokens = x.reshape(B, H * W, C3)
-                fused_x = blk(x, text=text, text_bias=text_bias,
-                              deterministic=deterministic)
-                text = self.text.layers[n_pre_text + (bi - n_pre_block)](
-                    text, attn_mask=ext_mask, image_feats=img_tokens,
-                    deterministic=deterministic)
-                x = fused_x
+        for bi in range(n_pre_block, c.swin_depths[2]):
+            blk = stage3.blocks[bi]
+            B, H, W, C3 = x.shape
+            img_tokens = x.reshape(B, H * W, C3)
+            fused_x = blk(x, text=text, text_bias=text_bias,
+                          deterministic=deterministic)
+            text = self.text.layers[n_pre_text + (bi - n_pre_block)](
+                text, attn_mask=ext_mask, image_feats=img_tokens,
+                deterministic=deterministic)
+            x = fused_x
         x = stage3.downsample(x)
 
         stage4 = self.swin.stages[3]
@@ -204,6 +228,22 @@ class FiberCoarse(nn.Module):
 
         return {"text_feats": text_feats, "image_feats": image_feats,
                 "cls_feats": cls_feats}
+
+    def infer(self, img: jax.Array, text_ids: jax.Array,
+              text_masks: jax.Array, *,
+              deterministic: bool = True) -> Dict[str, jax.Array]:
+        """Interleaved fusion forward (ref: fiber_module.py:310-367).
+
+        img: (B, S, S, 3) NHWC.  Returns text_feats (B, Lt, hs),
+        image_feats (B, Li, hs), cls_feats (B, 2*hs).  Composed of the
+        cacheable trunk/prefix + fused tail; rng folds are per module
+        path in flax, so dropout draws match the monolithic forward.
+        """
+        trunk = self.encode_image_trunk(img, deterministic=deterministic)
+        text = self.encode_text_pre(text_ids, text_masks,
+                                    deterministic=deterministic)
+        return self.infer_fused_tail(trunk, text, text_masks,
+                                     deterministic=deterministic)
 
     # ------------------------------------------------------------------
     # Captioning decoder forward

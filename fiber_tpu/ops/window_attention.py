@@ -47,6 +47,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     out_ref[...] = out.reshape(1, WB, h, N, hd).astype(out_ref.dtype)
 
 
+# Probe note (v5e, round 2): in *isolation* the XLA lowering looked
+# faster than the kernel at many-window stages (stage-1 3.05 vs 3.69 ms)
+# and slower at few-window stages (stage-3 1.79 vs 0.51) — but gating
+# the kernel off for stages 1-2 in the full model REGRESSED the rerank
+# bench 760 -> 692 pairs/s: inside the real program the XLA path's
+# (B, nW, h, N, N) fp32 logits break surrounding fusions and round-trip
+# HBM.  Keep the kernel everywhere.
+
+
 def _pick_wb(nW: int, N: int, C: int, num_heads: int) -> int:
     # ~4MB working-set budget: Mosaic double-buffers every in/out block,
     # and the fp32 attention intermediate lives on the VMEM stack too

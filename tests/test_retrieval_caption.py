@@ -86,3 +86,54 @@ def test_greedy_and_beam_decode(small_model):
                                    eos_id=2, pad_id=1, max_len=max_len,
                                    beam_size=1)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(ids))
+
+
+def test_cached_rerank_matches_full_forward(small_model):
+    """Trunk/prefix-cached rerank == full fused forward per pair
+    (infer is trunk + prefix + tail by construction)."""
+    cfg, model, variables = small_model
+    rng = np.random.default_rng(5)
+    n_img, n_txt = 4, 6
+    images = jnp.asarray(
+        rng.standard_normal((n_img, cfg.image_size, cfg.image_size, 3)),
+        cfg.compute_dtype)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size,
+                                   (n_txt, cfg.max_text_len)), jnp.int32)
+    masks = np.ones((n_txt, cfg.max_text_len), np.int64)
+    masks[2, 3:] = 0  # a padded text exercises the mask path
+    masks = jnp.asarray(masks, jnp.int32)
+
+    pair_img = np.asarray([0, 1, 2, 3, 0, 1, 2, 3])
+    pair_txt = np.asarray([0, 1, 2, 3, 4, 5, 0, 1])
+
+    s_full = ret._rank_pairs_scan(model, variables, images, ids, masks,
+                                  jnp.asarray(pair_img),
+                                  jnp.asarray(pair_txt), 4)
+    s_cached = ret.rank_pairs_pipeline(model, variables, images, ids,
+                                       masks, pair_img, pair_txt, 4,
+                                       trunk_batch=2)
+    np.testing.assert_allclose(np.asarray(s_cached), np.asarray(s_full),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_infer_composition_identical(small_model):
+    """infer() == encode_image_trunk + encode_text_pre + infer_fused_tail."""
+    cfg, model, variables = small_model
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.standard_normal(
+        (2, cfg.image_size, cfg.image_size, 3)), cfg.compute_dtype)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size,
+                                   (2, cfg.max_text_len)), jnp.int32)
+    msk = jnp.ones((2, cfg.max_text_len), jnp.int32)
+
+    full = model.apply(variables, img, ids, msk, method=FiberCoarse.infer)
+    trunk = model.apply(variables, img,
+                        method=FiberCoarse.encode_image_trunk)
+    pre = model.apply(variables, ids, msk,
+                      method=FiberCoarse.encode_text_pre)
+    tail = model.apply(variables, trunk, pre, msk,
+                       method=FiberCoarse.infer_fused_tail)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(tail[k], np.float32),
+                                   np.asarray(full[k], np.float32),
+                                   atol=0, rtol=0)
