@@ -61,6 +61,166 @@ def coco_karpathy_records(karpathy_json: str, image_root: str,
         }
 
 
+def f30k_karpathy_records(karpathy_json: str, image_root: str,
+                          split: str) -> Iterable[Dict]:
+    """Karpathy-split Flickr30k captions (ref write_f30k_karpathy.py:
+    flat image dir, split taken from the json; reference train merges
+    val via the dataset class, not the writer)."""
+    with open(karpathy_json) as f:
+        data = json.load(f)
+    for img in data["images"]:
+        if img["split"] != split:
+            continue
+        yield {
+            "image_path": os.path.join(image_root, img["filename"]),
+            "caption": [s["raw"] for s in img["sentences"]],
+            "image_id": img["filename"],
+            "split": split,
+        }
+
+
+def conceptual_caption_records(annot_json: str, image_root: str,
+                               split: str) -> Iterable[Dict]:
+    """Conceptual Captions / SBU annot format: a json list of
+    [downloaded_path, caption] pairs (ref write_conceptual_caption.py /
+    write_sbu.py — one caption per image, file name is the id)."""
+    with open(annot_json) as f:
+        pairs = json.load(f)
+    for path, caption in pairs:
+        name = os.path.basename(path)
+        full = os.path.join(image_root, name)
+        if not os.path.exists(full):
+            full = path  # already absolute
+        yield {
+            "image_path": full,
+            "caption": [caption],
+            "image_id": name,
+            "split": split,
+        }
+
+
+sbu_records = conceptual_caption_records  # identical layout (write_sbu.py)
+
+
+def vg_records(region_json: str, image_root: str) -> Iterable[Dict]:
+    """Visual Genome region descriptions (ref write_vg.py): per image,
+    the region phrases as captions plus per-region box extras
+    (width/height/x/y columns)."""
+    from collections import defaultdict
+    with open(region_json) as f:
+        data = json.load(f)
+    by_img = defaultdict(list)
+    for entry in data:
+        for r in entry["regions"]:
+            by_img[r["image_id"]].append(r)
+    for iid, regions in by_img.items():
+        yield {
+            "image_path": os.path.join(image_root, f"{iid}.jpg"),
+            "caption": [r["phrase"] for r in regions],
+            "image_id": str(iid),
+            "split": "train",
+            "width": [r["width"] for r in regions],
+            "height": [r["height"] for r in regions],
+            "x": [r["x"] for r in regions],
+            "y": [r["y"] for r in regions],
+        }
+
+
+def write_vqa_arrow(questions_json: str, annotations_json: Optional[str],
+                    image_root: str, image_template: str,
+                    answer_vocab: Dict[str, int], split: str,
+                    out_path: str) -> int:
+    """VQAv2 -> reference arrow layout (write_vqa.py): rows grouped per
+    IMAGE with list columns questions / question_id and list-of-list
+    answers / answer_labels / answer_scores — the layout
+    data/task_datasets.VQAv2Dataset reads."""
+    import pyarrow as pa
+    from collections import Counter, defaultdict
+    from fiber_tpu.data.vqa import normalize_answer, vqa_soft_score
+
+    with open(questions_json) as f:
+        questions = json.load(f)["questions"]
+    annos = {}
+    if annotations_json:
+        with open(annotations_json) as f:
+            for a in json.load(f)["annotations"]:
+                annos[a["question_id"]] = a
+
+    by_img = defaultdict(list)
+    for q in questions:
+        by_img[q["image_id"]].append(q)
+
+    rows = {k: [] for k in ("image", "questions", "question_id", "answers",
+                            "answer_labels", "answer_scores", "image_id",
+                            "split")}
+    for iid, qs in by_img.items():
+        path = os.path.join(image_root, image_template.format(iid))
+        with open(path, "rb") as f:
+            rows["image"].append(f.read())
+        qtexts, qids, answers, labels, scores = [], [], [], [], []
+        for q in qs:
+            qtexts.append(q["question"])
+            qids.append(q["question_id"])
+            ans, lab, sco = [], [], []
+            if q["question_id"] in annos:
+                counts = Counter(normalize_answer(a["answer"]) for a in
+                                 annos[q["question_id"]]["answers"])
+                for a, c in counts.items():
+                    ans.append(a)
+                    if a in answer_vocab:
+                        lab.append(answer_vocab[a])
+                        sco.append(vqa_soft_score(c))
+            answers.append(ans)
+            labels.append(lab)
+            scores.append(sco)
+        rows["questions"].append(qtexts)
+        rows["question_id"].append(qids)
+        rows["answers"].append(answers)
+        rows["answer_labels"].append(labels)
+        rows["answer_scores"].append(scores)
+        rows["image_id"].append(iid)
+        rows["split"].append(split)
+    return _write_table(rows, out_path)
+
+
+def write_nlvr2_arrow(jsonl_path: str, image_root: str, split: str,
+                      out_path: str) -> int:
+    """NLVR2 -> reference arrow layout (write_nlvr2.py): both pair
+    images as byte columns image_0/image_1, sentences under `questions`,
+    string answers — the layout data/task_datasets.NLVR2Dataset reads."""
+    from collections import defaultdict
+    groups = defaultdict(lambda: {"questions": [], "answers": []})
+    with open(jsonl_path) as f:
+        for line in f:
+            ex = json.loads(line)
+            base = "-".join(ex["identifier"].split("-")[:-1])
+            groups[base]["questions"].append(ex["sentence"])
+            groups[base]["answers"].append(str(ex["label"]))
+
+    rows = {k: [] for k in ("image_0", "image_1", "questions", "answers",
+                            "image_id", "split")}
+    for base, g in groups.items():
+        for col, suffix in (("image_0", "img0"), ("image_1", "img1")):
+            with open(os.path.join(image_root, f"{base}-{suffix}.png"),
+                      "rb") as f:
+                rows[col].append(f.read())
+        rows["questions"].append(g["questions"])
+        rows["answers"].append(g["answers"])
+        rows["image_id"].append(base)
+        rows["split"].append(split)
+    return _write_table(rows, out_path)
+
+
+def _write_table(rows: Dict[str, list], out_path: str) -> int:
+    import pyarrow as pa
+    table = pa.table(rows)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with pa.OSFile(out_path, "wb") as sink:
+        with pa.RecordBatchFileWriter(sink, table.schema) as writer:
+            writer.write_table(table)
+    return table.num_rows
+
+
 def vqa_records(questions_json: str, annotations_json: Optional[str],
                 image_root: str, image_template: str,
                 answer_vocab: Dict[str, int], split: str
