@@ -156,7 +156,7 @@ class FiberCoarse(nn.Module):
         n_tail = c.num_fuse_block - c.swin_depths[3]
         n_pre_block = c.swin_depths[2] - n_tail
         for bi in range(n_pre_block):
-            x = stage3.blocks[bi](x, deterministic=deterministic)
+            x = stage3.blocks[bi](x, None, None, deterministic)
         return x
 
     def encode_text_pre(self, text_ids: jax.Array, text_masks: jax.Array, *,
@@ -195,8 +195,7 @@ class FiberCoarse(nn.Module):
             blk = stage3.blocks[bi]
             B, H, W, C3 = x.shape
             img_tokens = x.reshape(B, H * W, C3)
-            fused_x = blk(x, text=text, text_bias=text_bias,
-                          deterministic=deterministic)
+            fused_x = blk(x, text, text_bias, deterministic)
             text = self.text.layers[n_pre_text + (bi - n_pre_block)](
                 text, attn_mask=ext_mask, image_feats=img_tokens,
                 deterministic=deterministic)
@@ -207,8 +206,7 @@ class FiberCoarse(nn.Module):
         for bi, blk in enumerate(stage4.blocks):
             B, H, W, C4 = x.shape
             img_tokens = x.reshape(B, H * W, C4)
-            fused_x = blk(x, text=text, text_bias=text_bias,
-                          deterministic=deterministic)
+            fused_x = blk(x, text, text_bias, deterministic)
             # last_norm deferred on the final text layer
             # (ref: fiber_module.py:339-344, last_norm=(blk_cnt == 0))
             text = self.text.layers[n_pre_text + n_tail + bi](

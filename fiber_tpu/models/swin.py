@@ -264,10 +264,14 @@ class SwinBlock(nn.Module):
                        dtype=self.dtype)
         self.drop_path_mod = DropPath(self.drop_path)
 
+    # NB: `deterministic` is positional (no keyword-only marker) so the
+    # remat wrapper can declare it static (static_argnums=(4,)); a
+    # rematted keyword bool becomes a traced bool[] that DropPath/Dropout
+    # cannot branch on (train-config failure: remat + drop_path > 0).
     def __call__(self, x: jax.Array,
                  text: Optional[jax.Array] = None,
                  text_bias: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True) -> jax.Array:
         H, W = self.input_resolution
         B = x.shape[0]
         C = self.dim
@@ -352,8 +356,11 @@ class SwinStage(nn.Module):
 
     def setup(self):
         fuse = self.fuse_flags or tuple(False for _ in range(self.depth))
+        # static_argnums=(4,): `deterministic` (0 is self) must stay a
+        # Python bool through the checkpoint wrapper — see
+        # SwinBlock.__call__ note.
         block_cls = (nn.remat(
-            SwinBlock, static_argnums=(),
+            SwinBlock, static_argnums=(4,),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
             if self.remat else SwinBlock)
         self.blocks = [
@@ -377,8 +384,7 @@ class SwinStage(nn.Module):
     def __call__(self, x, text=None, text_bias=None, *,
                  deterministic: bool = True):
         for blk in self.blocks:
-            x = blk(x, text=text, text_bias=text_bias,
-                    deterministic=deterministic)
+            x = blk(x, text, text_bias, deterministic)
         if self.downsample is not None:
             x = self.downsample(x)
         return x

@@ -88,3 +88,28 @@ def test_heads(model_and_vars):
     assert itm.shape == (2, 2)
     vqa = model.apply(variables, cls, method=FiberCoarse.vqa_logits)
     assert vqa.shape == (2, cfg.vqav2_label_size)
+
+
+def test_train_config_remat_droppath_traces():
+    """remat + drop_path > 0 (the real pretraining config) must trace:
+    nn.remat needs `deterministic` static (SwinBlock static_argnums) or
+    DropPath sees a traced bool[] and crashes."""
+    import jax
+    import jax.numpy as jnp
+    from fiber_tpu.config import FiberConfig
+    from fiber_tpu.models.fiber import FiberCoarse
+
+    cfg = FiberConfig.tiny_test(loss_names=("itm",)).replace(
+        remat=True, swin_drop_path_rate=0.1, drop_rate=0.1)
+    model = FiberCoarse(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    msk = jnp.ones((1, cfg.max_text_len), jnp.int32)
+    v = jax.eval_shape(lambda r: model.init(r, img, ids, msk),
+                       jax.random.PRNGKey(0))
+    # and the train-mode apply path with dropout rngs
+    variables = model.init(jax.random.PRNGKey(0), img, ids, msk)
+    out = model.apply(variables, img, ids, msk,
+                      method=FiberCoarse.infer, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert jnp.isfinite(out["cls_feats"].astype(jnp.float32)).all()
