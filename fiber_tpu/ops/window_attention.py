@@ -67,25 +67,15 @@ def _pick_wb(nW: int, N: int, C: int, num_heads: int) -> int:
     return wb
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_heads", "windows_per_program",
-                                    "batch_per_program", "interpret"))
-def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
-                                   num_heads: int,
-                                   windows_per_program: int = 0,
-                                   batch_per_program: int = 0,
-                                   interpret: bool = False) -> jax.Array:
-    """qkv (B, nW, N, 3C) pre-partitioned + pre-projected;
-    bias (nW, h, N, N) additive per-window logit bias (RPB + shift mask).
-    Returns (B, nW, N, C)."""
+def _kernel_call(qkv: jax.Array, bias: jax.Array, num_heads: int,
+                 windows_per_program: int, interpret: bool) -> jax.Array:
+    """Raw pallas_call (forward only)."""
     B, nW, N, C3 = qkv.shape
     C = C3 // 3
     h = num_heads
     hd = C // h
     scale = hd ** -0.5
     WB = windows_per_program or _pick_wb(nW, N, C, h)
-    del batch_per_program  # probed: multi-batch blocks force Mosaic
-    # relayouts that cost far more than the shared-bias DMA they save
 
     x = qkv.reshape(B, nW, N, 3, h, hd)
     x = x.transpose(3, 0, 1, 4, 2, 5)                # (3, B, nW, h, N, hd)
@@ -110,6 +100,54 @@ def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
         interpret=interpret,
     )(q, k, v, bias)
     return out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+
+
+# Training support: the kernel defines no transpose rule, so give it a
+# custom VJP — forward runs the kernel, backward recomputes attention
+# with the XLA reference formulation and differentiates that (flash-
+# attention-style recompute: no (B, nW, h, N, N) probs saved in the
+# residuals; one extra XLA attention per backward).  d(bias) flows so
+# the relative-position-bias table still trains.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _window_attention(qkv, bias, num_heads, windows_per_program,
+                      interpret):
+    return _kernel_call(qkv, bias, num_heads, windows_per_program,
+                        interpret)
+
+
+def _wa_fwd(qkv, bias, num_heads, windows_per_program, interpret):
+    out = _kernel_call(qkv, bias, num_heads, windows_per_program,
+                       interpret)
+    return out, (qkv, bias)
+
+
+def _wa_bwd(num_heads, windows_per_program, interpret, res, g):
+    qkv, bias = res
+    _, vjp = jax.vjp(
+        lambda q, b: window_attention_windows_reference(q, b, num_heads),
+        qkv, bias)
+    return vjp(g)
+
+
+_window_attention.defvjp(_wa_fwd, _wa_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "windows_per_program",
+                                    "batch_per_program", "interpret"))
+def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
+                                   num_heads: int,
+                                   windows_per_program: int = 0,
+                                   batch_per_program: int = 0,
+                                   interpret: bool = False) -> jax.Array:
+    """qkv (B, nW, N, 3C) pre-partitioned + pre-projected;
+    bias (nW, h, N, N) additive per-window logit bias (RPB + shift mask).
+    Returns (B, nW, N, C).  Differentiable (custom VJP: kernel forward,
+    XLA-recompute backward)."""
+    del batch_per_program  # probed: multi-batch blocks force Mosaic
+    # relayouts that cost far more than the shared-bias DMA they save
+    return _window_attention(qkv, bias, num_heads, windows_per_program,
+                             interpret)
 
 
 def window_attention_windows_reference(qkv: jax.Array, bias: jax.Array,

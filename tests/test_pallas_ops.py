@@ -58,3 +58,30 @@ def test_reference_matches_naive_per_window():
                 att /= att.sum(-1, keepdims=True)
                 res[b, w, :, hh * hd:(hh + 1) * hd] = att @ v[:, hh]
     np.testing.assert_allclose(np.asarray(out), res, atol=1e-5)
+
+
+def test_window_attention_kernel_gradients_match_reference():
+    """custom VJP (kernel fwd, XLA-recompute bwd): grads wrt qkv AND bias
+    match differentiating the reference path — training on TPU needs
+    this (the raw pallas_call has no transpose rule)."""
+    rng = np.random.default_rng(3)
+    B, nW, N, C, h = 2, 2, 4, 8, 2
+    qkv = jnp.asarray(rng.standard_normal((B, nW, N, 3 * C)), jnp.float32)
+    bias = _bias(nW, h, N, rng, with_mask=True)
+    g = jnp.asarray(rng.standard_normal((B, nW, N, C)), jnp.float32)
+
+    def loss_kernel(q, b):
+        out = wa.fused_window_attention_windows(q, b, h,
+                                                windows_per_program=1,
+                                                interpret=True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, b):
+        return jnp.sum(wa.window_attention_windows_reference(q, b, h) * g)
+
+    dq_k, db_k = jax.grad(loss_kernel, argnums=(0, 1))(qkv, bias)
+    dq_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(dq_k), np.asarray(dq_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_k), np.asarray(db_r),
+                               atol=1e-5, rtol=1e-5)
