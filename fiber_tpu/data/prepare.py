@@ -20,8 +20,6 @@ def make_arrow(records: Iterable[Dict], out_path: str,
     """records: dicts with keys `image_path`, `caption` (str or list),
     `image_id`, `split`, plus any `extra_columns` (e.g. vqa labels).
     Returns the number of rows written."""
-    import pyarrow as pa
-
     rows = {k: [] for k in
             ("image", "caption", "image_id", "split", *extra_columns)}
     n = 0
@@ -35,22 +33,24 @@ def make_arrow(records: Iterable[Dict], out_path: str,
         for k in extra_columns:
             rows[k].append(rec.get(k))
         n += 1
-    table = pa.table(rows)
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with pa.OSFile(out_path, "wb") as sink:
-        with pa.RecordBatchFileWriter(sink, table.schema) as writer:
-            writer.write_table(table)
-    return n
+    return _write_table(rows, out_path)
 
 
 def coco_karpathy_records(karpathy_json: str, image_root: str,
-                          split: str) -> Iterable[Dict]:
-    """Karpathy-split COCO captions (ref write_coco_karpathy.py)."""
+                          split: str,
+                          include_restval: bool = False) -> Iterable[Dict]:
+    """Karpathy-split COCO captions (ref write_coco_karpathy.py).
+
+    The reference deliberately trains WITHOUT the karpathy 'restval'
+    images ("removing restval does not hurt the model performance",
+    coco_caption_karpathy_dataset.py:12-17); include_restval=True folds
+    them into train for parity with other codebases that keep them."""
     with open(karpathy_json) as f:
         data = json.load(f)
     for img in data["images"]:
         if img["split"] != split and not (
-                split == "train" and img["split"] == "restval"):
+                include_restval and split == "train"
+                and img["split"] == "restval"):
             continue
         yield {
             "image_path": os.path.join(image_root, img.get("filepath", ""),
@@ -165,9 +165,12 @@ def write_vqa_arrow(questions_json: str, annotations_json: Optional[str],
             if q["question_id"] in annos:
                 counts = Counter(normalize_answer(a["answer"]) for a in
                                  annos[q["question_id"]]["answers"])
+                # answers stay PARALLEL to labels/scores: the reference
+                # writer derives answers from the vocab-filtered labels
+                # (write_vqa.py), so consumers may zip the three lists
                 for a, c in counts.items():
-                    ans.append(a)
                     if a in answer_vocab:
+                        ans.append(a)
                         lab.append(answer_vocab[a])
                         sco.append(vqa_soft_score(c))
             answers.append(ans)

@@ -73,6 +73,8 @@ TEXT_COLUMNS = {
 
 
 def arrow_paths(root: str, task: str, split: str) -> List[str]:
+    """Shard paths for a task/split; [] when the reference defines no
+    shards for that split (gcc/sbu/vg have train only)."""
     names = TASK_NAMES[task][split]
     paths = [os.path.join(root, f"{n}.arrow") for n in names]
     missing = [p for p in paths if not os.path.exists(p)]
@@ -102,12 +104,15 @@ class TaskDataset:
         self.image_only = image_only
         self.max_retries = max_retries
         self.rng = np.random.default_rng(seed)
-        self.ds = ArrowCaptionDataset(
-            arrow_paths(root, self.task, split),
-            caption_column=TEXT_COLUMNS[self.task])
+        paths = arrow_paths(root, self.task, split)
+        # empty split (e.g. gcc/sbu/vg val): an empty dataset, like the
+        # reference's len(names)==0 handling (base_dataset.py:30-46)
+        self.ds = (ArrowCaptionDataset(
+            paths, caption_column=TEXT_COLUMNS[self.task])
+            if paths else None)
 
     def __len__(self) -> int:
-        return len(self.ds)
+        return 0 if self.ds is None else len(self.ds)
 
     # -- per-sample pieces (override in task subclasses) --------------
     def _sample(self, i: int) -> Dict[str, Any]:
@@ -131,6 +136,8 @@ class TaskDataset:
     def get_suite(self, i: int) -> Dict[str, Any]:
         """Fetch sample i; on a corrupt record, re-draw a random index
         (ref base_dataset.py:151-169 `while result is None`)."""
+        if self.ds is None:
+            raise IndexError(f"{self.task}/{self.split} is an empty split")
         for _ in range(self.max_retries):
             try:
                 return self._sample(i)

@@ -37,7 +37,8 @@ import numpy as np
 
 from fiber_tpu.detection.fpn import FPN
 from fiber_tpu.models.roberta import (RobertaEncoderModel,
-                                      extended_attention_mask)
+                                      extended_attention_mask,
+                                      make_lang_dict)
 from fiber_tpu.models.swin import PatchEmbed, SwinStage
 
 Dtype = Any
@@ -212,13 +213,7 @@ class FusionSwinFPN(nn.Module):
             x = fused_x
         outs.append(self.out_norms[3](x))
 
-        # language dict (ref roberta_fused_model_v2.py:86-100)
-        maskf = attention_mask.astype(jnp.float32)[..., None]
-        embedded = text * maskf.astype(text.dtype)
-        aggregate = embedded.sum(axis=1) / jnp.maximum(
-            maskf.sum(axis=1), 1.0).astype(text.dtype)
-        lang_dict = {"hidden": text, "embedded": embedded,
-                     "aggregate": aggregate, "masks": attention_mask}
+        lang_dict = make_lang_dict(text, attention_mask)
 
         # FPN over strides 8/16/32 taps + P6/P7
         feats = self.fpn(outs[1:])

@@ -48,6 +48,21 @@ def extended_attention_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
         :, None, None, :]
 
 
+def make_lang_dict(text: jax.Array, masks) -> dict:
+    """Language feature dict {hidden, embedded, aggregate, masks}
+    (ref roberta_fused_model_v2.py:86-100): embedded = mask-zeroed
+    hidden, aggregate = masked mean.  Shared by every language-aware
+    backbone (fusion_backbone, swin_vl)."""
+    if masks is None:
+        masks = jnp.ones(text.shape[:2], jnp.int32)
+    mf = masks.astype(jnp.float32)[..., None]
+    embedded = text * mf.astype(text.dtype)
+    aggregate = embedded.sum(axis=1) / jnp.maximum(
+        mf.sum(axis=1), 1.0).astype(text.dtype)
+    return {"hidden": text, "embedded": embedded,
+            "aggregate": aggregate, "masks": masks}
+
+
 def causal_attention_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     """(B, L) 0/1 -> (B, 1, L, L) additive causal+padding mask.
 

@@ -389,12 +389,5 @@ class SwinVLBackbone(nn.Module):
 
         if not self.vl:
             return outs, None
-        maskf = (lang_masks if lang_masks is not None
-                 else jnp.ones(text.shape[:2], jnp.int32))
-        mf = maskf.astype(jnp.float32)[..., None]
-        embedded = text * mf.astype(text.dtype)
-        aggregate = embedded.sum(axis=1) / jnp.maximum(
-            mf.sum(axis=1), 1.0).astype(text.dtype)
-        lang_dict = {"hidden": text, "embedded": embedded,
-                     "aggregate": aggregate, "masks": maskf[..., 0]}
-        return outs, lang_dict
+        from fiber_tpu.models.roberta import make_lang_dict
+        return outs, make_lang_dict(text, lang_masks)

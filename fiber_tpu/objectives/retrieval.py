@@ -178,10 +178,13 @@ def itm_rerank_matrix(model: FiberCoarse, variables,
     """Rerank: fused forward + rank head on (image, text) candidate pairs
     (ref objectives.py:388-499 runs every pair; rerank_topk bounds it).
 
-    With on_device=True (default) the corpus is staged in HBM once and
-    every candidate pair is scored inside one jit dispatch
-    (_rank_pairs_scan); set False to fall back to the chunked host loop
-    when the corpus exceeds device memory.
+    With on_device=True (default) the cached pipeline runs: per-image
+    trunks + per-text prefixes are encoded once (two dispatches) and all
+    candidate pairs are scored from the caches in a third
+    (rank_pairs_pipeline).  HBM note: the trunk cache holds all Ni
+    stage-3 activation maps (Ni x H/16 x W/16 x 4C bf16 — ~0.6 MB per
+    384^2 image); set on_device=False for the chunked host loop when the
+    corpus exceeds device memory.
 
     Returns (Ni, Nt) matrix of rank scores at the evaluated pairs and
     -inf elsewhere.

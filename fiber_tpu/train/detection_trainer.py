@@ -171,7 +171,8 @@ class DetectionTrainer:
         from fiber_tpu.parallel.mesh import DATA_AXIS
         out = {}
         for k, v in batch.items():
-            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+            spec = (P() if v.ndim == 0
+                    else P(DATA_AXIS, *([None] * (v.ndim - 1))))
             out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return out
 

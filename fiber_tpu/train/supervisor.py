@@ -74,8 +74,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="command to run (prefix with --)")
     args = p.parse_args(argv)
-    cmd = [c for c in args.cmd if c != "--"]
-    if not cmd:
+    cmd = list(args.cmd)
+    if cmd and cmd[0] == "--":  # drop only the leading separator: a
+        cmd = cmd[1:]           # literal "--" inside the wrapped command
+    if not cmd:                 # must pass through untouched
         p.error("no command given")
     res = supervise(cmd, max_restarts=args.max_restarts,
                     backoff_s=args.backoff)

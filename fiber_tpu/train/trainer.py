@@ -205,6 +205,7 @@ class CoarseTrainer:
     def shard_batch(self, batch):
         out = {}
         for k, v in batch.items():
-            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+            spec = (P() if v.ndim == 0
+                    else P(DATA_AXIS, *([None] * (v.ndim - 1))))
             out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return out

@@ -23,7 +23,12 @@ from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
 
-STRIP_PREFIXES = ("module.", "model.", "text_transformer.", "vit_model.")
+# leading wrappers stripped only at the START of a key (a naive
+# replace-anywhere corrupts e.g. "some.submodule.weight" -> "some.sub");
+# the tower names are removed anywhere, matching the reference's
+# align_and_update_state_dicts (model_serialization.py:41-44).
+LEADING_PREFIXES = ("module.", "model.", "state_dict.")
+ANYWHERE_SUBSTRINGS = ("text_transformer.", "vit_model.")
 
 
 # ---------------------------------------------------------------------
@@ -58,7 +63,14 @@ def load_foreign_state_dict(path: str) -> Dict[str, np.ndarray]:
               for k, v in data.items()}
     out = {}
     for k, v in sd.items():
-        for p in STRIP_PREFIXES:
+        stripped = True
+        while stripped:
+            stripped = False
+            for p in LEADING_PREFIXES:
+                if k.startswith(p):
+                    k = k[len(p):]
+                    stripped = True
+        for p in ANYWHERE_SUBSTRINGS:
             k = k.replace(p, "")
         out[k] = v
     return out
@@ -93,16 +105,29 @@ def unflatten_params(flat: Mapping[str, np.ndarray]) -> Dict:
 # torch-layout -> flax-layout heuristics
 # ---------------------------------------------------------------------
 def adapt_tensor(model_key: str, model_val: np.ndarray,
-                 loaded_val: np.ndarray) -> Optional[np.ndarray]:
+                 loaded_val: np.ndarray,
+                 loaded_key: str = "") -> Optional[np.ndarray]:
     """Convert a torch-layout tensor to the flax layout expected at
-    model_key; None if no consistent interpretation exists."""
+    model_key; None if no consistent interpretation exists.
+
+    A torch ``.weight`` landing on a flax ``kernel`` is ALWAYS
+    transposed/permuted (Linear is (out, in), conv is OIHW) — shape
+    equality alone is ambiguous for square kernels, and skipping the
+    transpose would silently load every C-to-C projection sideways."""
     lv = np.asarray(loaded_val)
-    if lv.shape == tuple(model_val.shape):
+    mshape = tuple(model_val.shape)
+    torch_weight_to_kernel = (model_key.rsplit(".", 1)[-1] == "kernel"
+                              and loaded_key.endswith(".weight"))
+    if lv.ndim == 2 and torch_weight_to_kernel:
+        return lv.T if lv.T.shape == mshape else None
+    if lv.ndim == 4 and torch_weight_to_kernel:
+        perm = lv.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        return perm if perm.shape == mshape else None
+    if lv.shape == mshape:
         return lv
-    if lv.ndim == 2 and lv.T.shape == tuple(model_val.shape):
+    if lv.ndim == 2 and lv.T.shape == mshape:
         return lv.T                      # torch Linear weight (out, in)
-    if lv.ndim == 4 and lv.transpose(2, 3, 1, 0).shape == tuple(
-            model_val.shape):
+    if lv.ndim == 4 and lv.transpose(2, 3, 1, 0).shape == mshape:
         return lv.transpose(2, 3, 1, 0)  # torch conv OIHW -> HWIO
     return None
 
@@ -155,7 +180,8 @@ def align_and_update(params: Dict, loaded: Mapping[str, np.ndarray],
             report["unmatched_model"].append(mkey)
             continue
         lkey = best[1]
-        adapted = adapt_tensor(mkey, flat[mkey], loaded[lkey])
+        adapted = adapt_tensor(mkey, flat[mkey], loaded[lkey],
+                               loaded_key=lkey)
         if adapted is None and _is_bias_table(mkey, reshape_keys):
             from fiber_tpu.utils.checkpoint_convert import (
                 resize_relative_position_bias_table)

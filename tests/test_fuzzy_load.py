@@ -115,3 +115,27 @@ def test_load_torch_pth(tmp_path):
     new, report = load_into_params(params, str(p))
     assert flatten_params(new)["fc.kernel"].shape == (2, 3)
     assert report["matched"] == ["fc.kernel <- fc.weight"]
+
+
+def test_square_torch_weight_is_transposed():
+    """A square torch Linear .weight must still be transposed onto a flax
+    kernel — shape equality alone is ambiguous (review finding)."""
+    params = {"proj": {"kernel": np.zeros((4, 4), np.float32)}}
+    w = np.arange(16, dtype=np.float32).reshape(4, 4)
+    new, report = align_and_update(params, {"proj.weight": w})
+    np.testing.assert_array_equal(flatten_params(new)["proj.kernel"], w.T)
+    assert report["matched"] == ["proj.kernel <- proj.weight"]
+
+
+def test_prefix_strip_leading_only(tmp_path):
+    """'module.'/'model.' strip only at the start: mid-key substrings
+    like 'submodule' / 'text_model' must survive (review finding)."""
+    npz = tmp_path / "m.npz"
+    np.savez(npz, **{
+        "module.some.submodule.weight": np.ones(2),
+        "model.text_model.encoder.weight": np.ones(2),
+    })
+    from fiber_tpu.utils.fuzzy_load import load_foreign_state_dict
+    sd = load_foreign_state_dict(str(npz))
+    assert "some.submodule.weight" in sd
+    assert "text_model.encoder.weight" in sd

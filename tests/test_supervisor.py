@@ -36,3 +36,17 @@ def test_real_subprocess_roundtrip(tmp_path):
                     log=lambda m: None)
     assert res.returncode == 0
     assert res.history == [3, 0]
+
+
+def test_cli_strips_only_leading_separator(tmp_path):
+    """A literal '--' inside the wrapped command must pass through."""
+    import sys
+    from fiber_tpu.train import supervisor
+
+    out = tmp_path / "argv.txt"
+    script = f"import sys; open(r'{out}','w').write(' '.join(sys.argv[1:]))"
+    rc = supervisor.main(["--max-restarts", "0", "--backoff", "0",
+                          "--", sys.executable, "-c", script,
+                          "--", "--flag"])
+    assert rc == 0
+    assert out.read_text() == "-- --flag"

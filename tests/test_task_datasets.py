@@ -200,3 +200,12 @@ def test_caption_family_records(tmp_path):
     (tmp_path / "r.json").write_text(json.dumps(regions))
     recs = list(vg_records(str(tmp_path / "r.json"), str(img_dir)))
     assert recs[0]["caption"] == ["red box"] and recs[0]["x"] == [1]
+
+
+def test_empty_split_is_empty_dataset(tmp_path):
+    """gcc/sbu/vg have no val shards: the dataset is empty, not a crash
+    (ref base_dataset.py len(names)==0 handling)."""
+    ds = build_task_dataset("gcc", str(tmp_path), "val")
+    assert len(ds) == 0
+    with pytest.raises(IndexError):
+        ds[0]
