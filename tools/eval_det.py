@@ -10,6 +10,9 @@ detections across chunks, and evaluates with the self-contained COCO mAP.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run as `python tools/<x>.py`
+
 import argparse
 import json
 from typing import Dict, List, Sequence

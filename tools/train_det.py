@@ -8,6 +8,9 @@ Example:
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run as `python tools/<x>.py`
+
 import argparse
 import time
 
@@ -58,6 +61,10 @@ def main(argv=None):
     p.add_argument("--ema", type=float, default=0.999)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nan-dump-dir", default=None,
+                   help="dump (batch, params) on non-finite loss "
+                        "(ref engine/trainer.py:140-164; replay with "
+                        "tools/debug_nan.py)")
     args = p.parse_args(argv)
 
     from fiber_tpu.parallel.multihost import maybe_initialize_distributed
@@ -77,12 +84,16 @@ def main(argv=None):
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     batches = synthetic_batches(cfg, args.batch, seed=args.seed)
     rng = jax.random.PRNGKey(args.seed + 1)
+    from fiber_tpu.utils.nan_debug import NanDumper
+    nan_dumper = NanDumper(args.nan_dump_dir)
     t0 = time.time()
     for step in range(args.steps):
         rng, sub = jax.random.split(rng)
-        state, metrics = trainer.train_step(
-            state, {k: jnp.asarray(v) for k, v in next(batches).items()},
-            sub)
+        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        state, metrics = trainer.train_step(state, batch, sub)
+        if float(metrics["finite"]) == 0.0:
+            nan_dumper.check(step, float("nan"), batch, state.params,
+                             {k: float(v) for k, v in metrics.items()})
         if step % args.log_every == 0 or step == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {step} " +
