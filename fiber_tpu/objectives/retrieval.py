@@ -136,31 +136,41 @@ def rank_pairs_pipeline(model, variables, images, text_ids, text_masks,
                               jnp.asarray(pair_txt), pair_batch)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "batch"))
+def _encode_corpus_scan(model, variables, images, text_ids, text_masks,
+                        batch: int):
+    """Both ITC towers over the whole (padded) corpus in ONE dispatch:
+    lax.scan over image batches, then the text tower in one shot."""
+    N = images.shape[0]
+    imgs = images.reshape(N // batch, batch, *images.shape[1:])
+
+    def chunk(_, im):
+        return None, _img_fn(model, variables, im)
+
+    _, img_emb = jax.lax.scan(chunk, None, imgs)
+    txt_emb = _txt_fn(model, variables, text_ids, text_masks)
+    return img_emb.reshape(N, -1), txt_emb
+
+
 def encode_corpus(model: FiberCoarse, variables,
                   images: np.ndarray, text_ids: np.ndarray,
                   text_masks: np.ndarray,
                   batch_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:
-    """Unfused tower embeddings for all images / texts (normalized)."""
-    img_fn = functools.partial(_img_fn, model)
-    txt_fn = functools.partial(_txt_fn, model)
+    """Unfused tower embeddings for all images / texts (normalized).
 
-    def run(fn, *arrays):
-        n = arrays[0].shape[0]
-        outs = []
-        for i in range(0, n, batch_size):
-            chunk = [jnp.asarray(a[i:i + batch_size]) for a in arrays]
-            # pad the tail chunk to the static batch size
-            pad = batch_size - chunk[0].shape[0]
-            if pad:
-                chunk = [jnp.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1))
-                         for c in chunk]
-            out = fn(variables, *chunk)
-            outs.append(np.asarray(out[:arrays[0][i:i + batch_size].shape[0]]))
-        return np.concatenate(outs, axis=0)
-
-    img_emb = run(img_fn, images)
-    txt_emb = run(txt_fn, text_ids, text_masks)
-    return img_emb, txt_emb
+    The corpus is padded to a batch multiple and encoded inside one jit
+    dispatch (the round-1 loop staged every chunk through numpy, leaving
+    the chip idle between dispatches)."""
+    Ni = images.shape[0]
+    batch = min(batch_size, Ni)
+    pad = (-Ni) % batch
+    imgs = jnp.asarray(np.concatenate(
+        [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+        if pad else images, model.cfg.compute_dtype)
+    img_emb, txt_emb = _encode_corpus_scan(
+        model, variables, imgs, jnp.asarray(text_ids, jnp.int32),
+        jnp.asarray(text_masks, jnp.int32), batch)
+    return np.asarray(img_emb)[:Ni], np.asarray(txt_emb)
 
 
 def itc_score_matrix(img_emb: np.ndarray, txt_emb: np.ndarray
