@@ -80,6 +80,11 @@ class FiberConfig:
     remat: bool = True
     # Use Pallas fused window-attention kernel where available.
     use_pallas_attention: bool = True
+    # Run the hard-negative ITM triple batch as a lax.scan of three
+    # B-image forwards instead of one 3B-image forward (identical losses
+    # when deterministic; keeps the largest compiled program at B images
+    # so micro-batch >= 8 compiles on the tunneled v5e runtime).
+    itm_hardneg_chunk: bool = False
 
     # ------------------------------------------------------------------ api
     @property

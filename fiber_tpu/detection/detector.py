@@ -54,6 +54,14 @@ class DetectorConfig:
     reg_loss_weight: float = 2.0
     fusion_version: str = "v2"       # fusion_swin_transformer v1|v2|v3
     add_linear_layer: bool = False   # tunable text prompt (prompt tuning)
+    # GLIP-style MLM pretext (ref defaults.py:516-520, default-off in
+    # FIBER configs): random_word masking + BertLMPredictionHead over the
+    # embedded language features.
+    mlm_loss: bool = False
+    mlm_loss_coef: float = 1.0
+    mlm_loss_for_only_positives: bool = True
+    mask_token_id: int = 50264       # roberta <mask>
+    pad_token_id: int = 1
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -93,6 +101,12 @@ class GroundingDetector(nn.Module):
             use_dyrelu=c.use_dyrelu, use_dyfuse=c.use_dyfuse,
             use_deform=c.use_deform, max_query_len=c.max_query_len,
             dtype=c.compute_dtype)
+        if c.mlm_loss:
+            # BertLMPredictionHead equivalent (ref vldyhead.py:751-756)
+            from fiber_tpu.models import heads
+            self.mlm_head = heads.MLMHead(hidden_size=c.lang_dim,
+                                          vocab_size=c.vocab_size,
+                                          dtype=c.compute_dtype)
 
     def __call__(self, images: jax.Array, input_ids: jax.Array,
                  attention_mask: jax.Array, *,
@@ -101,7 +115,12 @@ class GroundingDetector(nn.Module):
                                     deterministic=deterministic)
         head_out = self.rpn(feats, lang["embedded"],
                             lang_mask=attention_mask)
-        return {"head_out": head_out, "lang": lang}
+        out = {"head_out": head_out, "lang": lang}
+        if self.cfg.mlm_loss:
+            # ref vldyhead.py:776-777: the MLM head reads the embedded
+            # language features
+            out["mlm_logits"] = self.mlm_head(lang["embedded"])
+        return out
 
 
 def detector_anchors(cfg: DetectorConfig, image_size=None):
@@ -123,11 +142,27 @@ def detector_anchors(cfg: DetectorConfig, image_size=None):
 
 
 def detection_loss(model: GroundingDetector, variables, batch, *,
-                   rngs=None, train: bool = True) -> Dict[str, jax.Array]:
+                   rngs=None, train: bool = True,
+                   mlm_rng: Optional[jax.Array] = None
+                   ) -> Dict[str, jax.Array]:
     """batch: images (B,H,W,3), input_ids/attention_mask (B,T),
-    gt_boxes (B,G,4), gt_valid (B,G), positive_map (B,G,T)."""
+    gt_boxes (B,G,4), gt_valid (B,G), positive_map (B,G,T), optional
+    greenlight_map (B,T) when cfg.mlm_loss (ref collate_batch.py:28-69).
+    """
     cfg = model.cfg
-    out = model.apply(variables, batch["images"], batch["input_ids"],
+    input_ids = batch["input_ids"]
+    mlm_labels = None
+    if cfg.mlm_loss and train:
+        from fiber_tpu.detection import mlm as det_mlm
+        if mlm_rng is None:
+            mlm_rng = (rngs or {}).get("mlm", jax.random.PRNGKey(0))
+        greenlight = batch.get("greenlight_map")
+        if not cfg.mlm_loss_for_only_positives:
+            greenlight = None   # ref generalized_vl_rcnn.py:277-278
+        input_ids, mlm_labels = det_mlm.random_word_mask(
+            mlm_rng, input_ids, cfg.mask_token_id, cfg.vocab_size,
+            cfg.pad_token_id, greenlight)
+    out = model.apply(variables, batch["images"], input_ids,
                       batch["attention_mask"], deterministic=not train,
                       rngs=rngs)
     anchors, level_sizes, _ = detector_anchors(
@@ -136,6 +171,10 @@ def detection_loss(model: GroundingDetector, variables, batch, *,
         out["head_out"], anchors, level_sizes, batch["gt_boxes"],
         batch["gt_valid"], batch["positive_map"], batch["attention_mask"],
         reg_loss_weight=cfg.reg_loss_weight, topk=cfg.atss_topk)
+    if mlm_labels is not None:
+        from fiber_tpu.detection import mlm as det_mlm
+        losses["mlm_loss"] = det_mlm.mlm_loss(
+            out["mlm_logits"], mlm_labels, cfg.mlm_loss_coef)
     losses["total_loss"] = sum(losses.values())
     return losses
 

@@ -68,7 +68,7 @@ class SEModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mid = max(1, self.channels // 4)
+        mid = max(self.channels // 4, 8)
         s = x.mean(axis=(1, 2))
         s = nn.relu(nn.Dense(mid, dtype=self.dtype, name="fc1")(s))
         s = jax.nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype,

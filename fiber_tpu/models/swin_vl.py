@@ -205,11 +205,21 @@ class SwinBlockVL(nn.Module):
             self.gamma = self.param("gamma",
                                     nn.initializers.constant(1e-4),
                                     (self.dim,), jnp.float32)
+            # Text residuals carry their own layer-scale gain
+            # (ref swint_v2_vl.py:310-312, 380-381).
+            self.gamma_text = self.param("gamma_text",
+                                         nn.initializers.constant(1e-4),
+                                         (self.dim_text,), jnp.float32)
 
     def _scale(self, x: jax.Array) -> jax.Array:
         if self.layer_scale:
             return x * self.gamma.astype(x.dtype)
         return x
+
+    def _scale_text(self, t: jax.Array) -> jax.Array:
+        if self.layer_scale:
+            return t * self.gamma_text.astype(t.dtype)
+        return t
 
     def __call__(self, x: jax.Array, text: jax.Array,
                  text_mask_add: Optional[jax.Array], *,
@@ -247,11 +257,11 @@ class SwinBlockVL(nn.Module):
             self._scale(self.mlp(self.norm2(x),
                                  deterministic=deterministic)),
             deterministic=deterministic)
-        text = shortcut_t + self.drop_path_mod(t_out,
+        text = shortcut_t + self.drop_path_mod(self._scale_text(t_out),
                                                deterministic=deterministic)
         text = text + self.drop_path_mod(
-            self.mlp_text(self.norm2_text(text),
-                          deterministic=deterministic),
+            self._scale_text(self.mlp_text(self.norm2_text(text),
+                                           deterministic=deterministic)),
             deterministic=deterministic)
         return x, text
 

@@ -136,26 +136,57 @@ def compute_itc(model: FiberCoarse, variables, batch, queue: ItcQueue,
 
 # ---------------------------------------------------------------------------
 def compute_itm_hardneg(model: FiberCoarse, variables, batch, negatives, *,
-                        rngs=None, train: bool = True) -> Dict[str, jax.Array]:
+                        rngs=None, train: bool = True,
+                        chunk: bool = False) -> Dict[str, jax.Array]:
     """ITM on [pos | text-neg | image-neg] triple batch
-    (ref: objectives.py:78-116)."""
+    (ref: objectives.py:78-116).
+
+    chunk=True runs the three groups through a lax.scan of B-image
+    forwards instead of one 3B-image forward — identical losses when
+    deterministic (the encoder is batch-independent; dropout draws differ
+    per group, which only changes the stochastic sampling).  This keeps
+    the largest compiled forward at B images, which is what lets
+    micro-batch 8 compile on the tunneled v5e runtime (the 24-image
+    monolithic forward crashes its compile helper, docs/ROUND2_NOTES.md).
+    """
     img = batch["image"]
     ids = batch["text_ids"]
     masks = batch["text_masks"]
     B = img.shape[0]
 
-    images = jnp.concatenate([img, img, negatives["image_neg"]], axis=0)
-    text_ids = jnp.concatenate([ids, negatives["text_neg"], ids], axis=0)
-    text_masks = jnp.concatenate([masks, negatives["text_mask_neg"], masks],
-                                 axis=0)
     labels = jnp.concatenate(
         [jnp.ones((B,), jnp.int32), jnp.zeros((2 * B,), jnp.int32)])
 
-    out = model.apply(variables, images, text_ids, text_masks,
-                      method=FiberCoarse.infer, deterministic=not train,
-                      rngs=rngs)
-    logits = model.apply(variables, out["cls_feats"],
-                         method=FiberCoarse.itm_logits)
+    if chunk:
+        images3 = jnp.stack([img, img, negatives["image_neg"]])
+        ids3 = jnp.stack([ids, negatives["text_neg"], ids])
+        masks3 = jnp.stack([masks, negatives["text_mask_neg"], masks])
+        if rngs:
+            keys = {k: jax.random.split(v, 3) for k, v in rngs.items()}
+        else:
+            keys = {}
+
+        def body(_, xs):
+            im, ti, tm, ks = xs
+            out = model.apply(variables, im, ti, tm,
+                              method=FiberCoarse.infer,
+                              deterministic=not train, rngs=ks or None)
+            lg = model.apply(variables, out["cls_feats"],
+                             method=FiberCoarse.itm_logits)
+            return None, lg
+
+        _, logits3 = jax.lax.scan(body, None, (images3, ids3, masks3, keys))
+        logits = logits3.reshape(3 * B, logits3.shape[-1])
+    else:
+        images = jnp.concatenate([img, img, negatives["image_neg"]], axis=0)
+        text_ids = jnp.concatenate([ids, negatives["text_neg"], ids], axis=0)
+        text_masks = jnp.concatenate(
+            [masks, negatives["text_mask_neg"], masks], axis=0)
+        out = model.apply(variables, images, text_ids, text_masks,
+                          method=FiberCoarse.infer, deterministic=not train,
+                          rngs=rngs)
+        logits = model.apply(variables, out["cls_feats"],
+                             method=FiberCoarse.itm_logits)
     loss, acc = cross_entropy_ignore(logits, labels)
     return {"itm_loss": loss, "itm_accuracy": acc}
 
@@ -244,7 +275,7 @@ def compute_caption_mle(model: FiberCoarse, variables, batch, *,
 # ---------------------------------------------------------------------------
 def pretrain_losses(model: FiberCoarse, variables, batch, queue: ItcQueue,
                     rng: jax.Array, loss_names, *, rngs=None,
-                    train: bool = True):
+                    train: bool = True, itm_hardneg_chunk: bool = False):
     """MLM + ITC (+queue) + hard-neg ITM, summed like training_step
     (ref: fiber_module.py:431-478)."""
     out: Dict[str, jax.Array] = {}
@@ -262,7 +293,8 @@ def pretrain_losses(model: FiberCoarse, variables, batch, queue: ItcQueue,
         if negatives is not None:
             out.update(compute_itm_hardneg(model, variables, batch,
                                            negatives, rngs=rngs,
-                                           train=train))
+                                           train=train,
+                                           chunk=itm_hardneg_chunk))
         else:
             rng, sub = jax.random.split(rng)
             out.update(compute_itm_random(model, variables, batch, sub,

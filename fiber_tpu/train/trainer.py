@@ -83,7 +83,8 @@ class CoarseTrainer:
         rngs = {"dropout": drop} if train else None
         total, metrics, new_queue = objectives.pretrain_losses(
             self.model, variables, batch, queue, rng, self.cfg.loss_names,
-            rngs=rngs, train=train)
+            rngs=rngs, train=train,
+            itm_hardneg_chunk=self.cfg.itm_hardneg_chunk)
         return total, (metrics, new_queue)
 
     # ------------------------------------------------------------------

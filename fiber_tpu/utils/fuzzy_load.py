@@ -19,6 +19,7 @@ utils/checkpoint_convert.py's explicit mappings.
 from __future__ import annotations
 
 import pickle
+import warnings
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
@@ -53,7 +54,17 @@ def load_foreign_state_dict(path: str) -> Dict[str, np.ndarray]:
               if not k.endswith("_momentum")}
     else:
         import torch
-        data = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            # Safe path first: tensors-only deserialization.
+            data = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # Older/pickled formats (Lightning, Detectron surgeries) need
+            # full unpickling, which executes code embedded in the file —
+            # only do so for checkpoints you trust.
+            warnings.warn(
+                f"{path}: falling back to weights_only=False torch.load; "
+                "this trusts arbitrary code in the checkpoint file.")
+            data = torch.load(path, map_location="cpu", weights_only=False)
         for key in ("state_dict", "model", "module"):
             if isinstance(data, dict) and key in data and isinstance(
                     data[key], dict):

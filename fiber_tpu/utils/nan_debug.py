@@ -102,6 +102,10 @@ class NanDumper:
         self.max_dumps = max_dumps
         self.paths = []
 
+    @property
+    def enabled(self) -> bool:
+        return self.dump_dir is not None
+
     def check(self, step: int, loss_value: float, batch, params,
               metrics: Optional[Dict[str, Any]] = None) -> Optional[str]:
         if np.isfinite(loss_value) or self.dump_dir is None:

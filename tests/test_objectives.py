@@ -108,3 +108,39 @@ def test_itc_negatives_not_self(pretrain_setup):
     for i in range(B):
         assert not np.allclose(img_negs[i],
                                np.asarray(batch["image"][i])), i
+
+
+def test_itm_hardneg_chunked_matches_monolithic(pretrain_setup):
+    """The scan-of-3-forwards path must reproduce the 3B monolithic
+    forward exactly when deterministic (batch-independent encoder)."""
+    cfg, model, variables, batch, queue = pretrain_setup
+    _, _, negatives = obj.compute_itc(
+        model, variables, batch, queue, jax.random.PRNGKey(5), train=False)
+    mono = obj.compute_itm_hardneg(model, variables, batch, negatives,
+                                   train=False, chunk=False)
+    chunked = obj.compute_itm_hardneg(model, variables, batch, negatives,
+                                      train=False, chunk=True)
+    np.testing.assert_allclose(np.asarray(mono["itm_loss"]),
+                               np.asarray(chunked["itm_loss"]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mono["itm_accuracy"]),
+                               np.asarray(chunked["itm_accuracy"]),
+                               rtol=0, atol=0)
+
+
+def test_itm_hardneg_chunked_grads_flow(pretrain_setup):
+    """Gradients must flow through the scanned hard-neg path in train
+    mode (dropout rngs split per group)."""
+    cfg, model, variables, batch, queue = pretrain_setup
+    _, _, negatives = obj.compute_itc(
+        model, variables, batch, queue, jax.random.PRNGKey(6), train=False)
+
+    def loss_fn(params):
+        out = obj.compute_itm_hardneg(
+            model, {"params": params}, batch, negatives,
+            rngs={"dropout": jax.random.PRNGKey(7)}, train=True, chunk=True)
+        return out["itm_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert jnp.isfinite(loss_fn(variables["params"]))
+    assert bool(jnp.any(grads["itm_score"]["fc"]["kernel"] != 0))
