@@ -54,10 +54,14 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    # swept on the tunneled v5e: trunk_batch 8 / pair_batch 32 peak
-    pair_batch = 32 if on_tpu else 2
+    # The reference rerank scores EVERY text against EVERY image
+    # (objectives.py:442-466: per-image loop over all text batches), so
+    # the benchmark workload is the full n_images x n_texts matrix.
+    # pair_batch 64 measured best (tools/profile_rerank.py round 3:
+    # tail 0.816 ms/pair at B=64 vs 0.845 at B=32).
+    pair_batch = 64 if on_tpu else 2
     n_images = 16 if on_tpu else 2
-    topk = 8 if on_tpu else 2
+    topk = None  # full matrix, like the reference
 
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
                            swin_drop_path_rate=0.0) if on_tpu else \
@@ -78,11 +82,16 @@ def main():
                              method=FiberCoarse.init_full)
     )(jax.random.PRNGKey(0))
 
-    # candidate pairs: top-k texts per image (synthetic ordering —
-    # identical compute to an ITC-ranked candidate set)
-    pair_img = np.repeat(np.arange(n_images), topk)
-    pair_txt = np.asarray([(i * 7 + j * 3) % n_texts
-                           for i in range(n_images) for j in range(topk)])
+    # candidate pairs: the full cross product (the reference's exact
+    # workload) or top-k per image when topk is set
+    if topk is None:
+        pair_img = np.repeat(np.arange(n_images), n_texts)
+        pair_txt = np.tile(np.arange(n_texts), n_images)
+    else:
+        pair_img = np.repeat(np.arange(n_images), topk)
+        pair_txt = np.asarray([(i * 7 + j * 3) % n_texts
+                               for i in range(n_images)
+                               for j in range(topk)])
     n_pairs = len(pair_img)
 
     def run(seed):

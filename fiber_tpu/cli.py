@@ -83,7 +83,9 @@ def arrow_batches(cfg: FiberConfig, paths, batch_size: int,
     for idx in it:
         images = np.stack([ds.get_image(i, cfg.image_size, train=True,
                                         rng=rng) for i in idx])
-        images = (images.astype(np.float32) / 255.0 - 0.5) / 0.5
+        images = ((images.astype(np.float32) / 255.0
+                   - np.array([0.485, 0.456, 0.406], np.float32))
+                  / np.array([0.229, 0.224, 0.225], np.float32))
         caps = [ds.get_caption(i) for i in idx]
         if hasattr(tokenizer, "batch"):
             enc = tokenizer.batch(caps, max_length=cfg.max_text_len)

@@ -163,3 +163,74 @@ for split in ("train", "val", "test"):
        ann_file=f"cityscapes/annotations/instancesonly_{split}.json")
 # ODinW 13/35 datasets register at runtime through DatasetCatalog.set
 # (ref data/build.py:288-300) — same mechanism here.
+
+
+def build_dataset(name: str, tokenizer=None, max_query_len: int = 256,
+                  transform=None, **overrides):
+    """Resolve a catalog name to a constructed reader (ref
+    data/build.py:76-106 build_dataset).  `overrides` replace spec args
+    (e.g. ann_file=... for tests); grounding/caption readers require a
+    tokenizer.
+    """
+    spec = DatasetCatalog.get(name)
+    args = dict(spec.args)
+    args.update(overrides)
+
+    if spec.factory == "arrow":
+        from fiber_tpu.data.arrow_dataset import ArrowCaptionDataset
+        return ArrowCaptionDataset([args["arrow_path"]])
+
+    if spec.factory == "coco_json":
+        if spec.task == "grounding" or tokenizer is not None:
+            from fiber_tpu.data.coco_datasets import CocoGroundingDataset
+            return CocoGroundingDataset(
+                args["img_root"], args["ann_file"], tokenizer,
+                max_query_len=max_query_len, transform=transform)
+        from fiber_tpu.data.coco_datasets import CocoDetectionDataset
+        return CocoDetectionDataset(args["img_root"], args["ann_file"],
+                                    transform=transform)
+
+    if spec.factory == "jsonl":  # modulated (MDETR-style) annotations
+        from fiber_tpu.data.long_tail import (GQAGroundingDataset,
+                                              MixedGroundingDataset,
+                                              PhrasecutDataset)
+        if name.startswith("mixed"):
+            return MixedGroundingDataset(
+                args.get("root_coco", args["img_root"]),
+                args.get("root_vg", args["img_root"]),
+                args["ann_file"], tokenizer,
+                max_query_len=max_query_len, transform=transform)
+        cls = (GQAGroundingDataset if name.startswith("gqa")
+               else PhrasecutDataset if name.startswith("phrasecut")
+               else None)
+        if cls is None:
+            from fiber_tpu.data.coco_datasets import ModulatedCocoDataset
+            cls = ModulatedCocoDataset
+        return cls(args["img_root"], args["ann_file"], tokenizer,
+                   max_query_len=max_query_len, transform=transform)
+
+    if spec.factory == "tsv":
+        if spec.task == "caption":
+            from fiber_tpu.data.long_tail import CaptionPseudoBoxDataset
+            return CaptionPseudoBoxDataset(
+                args["tsv_path"], tokenizer, max_query_len=max_query_len)
+        from fiber_tpu.data.tsv import TsvDetectionDataset
+        return TsvDetectionDataset(args["tsv_path"])
+
+    if spec.factory == "background":
+        from fiber_tpu.data.long_tail import BackgroundDataset
+        return BackgroundDataset(args["ann_file"], args["img_root"],
+                                 transform=transform)
+
+    if spec.factory == "imagenet":
+        from fiber_tpu.data.long_tail import ImagenetClassificationDataset
+        return ImagenetClassificationDataset(
+            args["ann_file"], args["img_root"], transform=transform)
+
+    raise ValueError(f"unknown factory kind '{spec.factory}' for {name}")
+
+
+_r("background_train", "background", "detection",
+   img_root="background/images", ann_file="background/images.json")
+_r("imagenet_train", "imagenet", "classification",
+   img_root="imagenet/train", ann_file="imagenet/train.json")

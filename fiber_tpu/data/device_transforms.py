@@ -59,6 +59,12 @@ def stage_host(pil_img, staging_size: int) -> Tuple[np.ndarray, np.ndarray]:
         h, w = nh, nw
     out = np.zeros((staging_size, staging_size, 3), np.uint8)
     out[:h, :w] = arr
+    # edge-replicate into the padding: resampling taps near the native
+    # image edge (cubic + antialias support) read past (h, w); black
+    # padding would bleed a dark fringe into edge pixels, replication
+    # reproduces PIL's edge-clamp behavior
+    out[h:, :w] = arr[h - 1][None, :]
+    out[:, w:] = out[:, w - 1][:, None]
     return out, np.array([h, w], np.int32)
 
 

@@ -90,3 +90,34 @@ def load_tokenizer(name_or_path: str = "roberta-base"):
     from transformers import AutoTokenizer
     return AutoTokenizer.from_pretrained(name_or_path,
                                          local_files_only=True)
+
+
+def get_tokenizer(spec: Optional[str] = None, warn: bool = True):
+    """Production tokenizer resolution for CLIs (ref
+    datamodule_base.py:13-19 get_pretrained_tokenizer): try the real HF
+    tokenizer (`spec` = name or local path, default roberta-base, local
+    files only — this environment has no network), fall back to the
+    whitespace tokenizer with a loud warning so smoke runs still work.
+    """
+    import os
+    import warnings
+    try:
+        if spec and os.path.isdir(spec) and \
+                os.path.exists(os.path.join(spec, "vocab.json")) and \
+                os.path.exists(os.path.join(spec, "merges.txt")) and \
+                not os.path.exists(os.path.join(spec,
+                                                "tokenizer_config.json")):
+            # bare vocab+merges directory: build the roberta BPE directly
+            from transformers import RobertaTokenizerFast
+            return RobertaTokenizerFast(
+                vocab_file=os.path.join(spec, "vocab.json"),
+                merges_file=os.path.join(spec, "merges.txt"))
+        return load_tokenizer(spec or "roberta-base")
+    except Exception as e:
+        if warn:
+            warnings.warn(
+                f"could not load HF tokenizer ({spec or 'roberta-base'}): "
+                f"{type(e).__name__}; falling back to WhitespaceTokenizer. "
+                "Pass --tokenizer <path with vocab.json+merges.txt> for "
+                "real-BPE tokenization.")
+        return WhitespaceTokenizer()

@@ -3,7 +3,7 @@
 The reference uses torchvision "albef" transforms on CPU workers
 (ref: fiber/transforms/transform.py:10-45): train = RandomResizedCrop +
 HFlip + RandAugment(2, 7); eval = Resize(square) + normalize with
-Inception mean/std.  TPU-first split: decode + geometric ops stay on host
+the torchvision ImageNet mean/std (transform.py:15).  TPU-first split: decode + geometric ops stay on host
 (PIL), the normalize runs on device as part of the jit program so uint8
 images travel over PCIe (4x less traffic than fp32).
 """
@@ -15,8 +15,13 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
-IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+# The reference albef transforms normalize with the torchvision ImageNet
+# defaults (ref transform.py:15,43), NOT the 0.5 inception constants.
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+# aliases kept for back-compat with earlier imports
+IMAGENET_INCEPTION_MEAN = IMAGENET_DEFAULT_MEAN
+IMAGENET_INCEPTION_STD = IMAGENET_DEFAULT_STD
 
 
 def normalize_on_device(img_u8, mean=IMAGENET_INCEPTION_MEAN,

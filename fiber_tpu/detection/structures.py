@@ -149,3 +149,83 @@ class Keypoints:
                   & (y >= 0) & (y < heatmap_size))
         vis = (self.kps[..., 2] > 0) & inside & self.valid[:, None]
         return yi * heatmap_size + xi, vis
+
+
+# ---------------------------------------------------------------------
+# mask pasting (eval-time, host numpy; ref mask_head/inference.py Masker)
+# ---------------------------------------------------------------------
+def _bilinear_resize(mask: np.ndarray, h: int, w: int) -> np.ndarray:
+    """F.interpolate(mode="bilinear", align_corners=False) on one (H, W)
+    float array."""
+    H, W = mask.shape
+    ys = (np.arange(h, dtype=np.float64) + 0.5) * H / h - 0.5
+    xs = (np.arange(w, dtype=np.float64) + 0.5) * W / w - 0.5
+    y0 = np.floor(ys)
+    x0 = np.floor(xs)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    y0 = np.clip(y0, 0, H - 1).astype(np.int64)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x0 = np.clip(x0, 0, W - 1).astype(np.int64)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    # clamp the interpolation weights where the source coord fell
+    # outside [0, H-1] (align_corners=False edge behavior)
+    wy = np.clip(ys, 0, H - 1)[:, None] - y0[:, None]
+    wx = np.clip(xs, 0, W - 1)[None, :] - x0[None, :]
+    v00 = mask[y0][:, x0]
+    v01 = mask[y0][:, x1]
+    v10 = mask[y1][:, x0]
+    v11 = mask[y1][:, x1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def paste_mask_in_image(mask: np.ndarray, box: np.ndarray, im_h: int,
+                        im_w: int, thresh: float = 0.5,
+                        padding: int = 1) -> np.ndarray:
+    """One (M, M) mask prob -> (im_h, im_w) bool, the reference Masker
+    semantics exactly (mask_head/inference.py:134-168): pad by
+    `padding`, expand the box by (M+2p)/M about its center, round to
+    int32, bilinear-resize to the +1-inclusive box size, threshold,
+    paste clipped."""
+    M = mask.shape[-1]
+    pad2 = 2 * padding
+    scale = float(M + pad2) / M
+    padded = np.zeros((M + pad2, M + pad2), np.float64)
+    padded[padding:-padding, padding:-padding] = mask
+
+    w_half = (box[2] - box[0]) * 0.5 * scale
+    h_half = (box[3] - box[1]) * 0.5 * scale
+    x_c = (box[2] + box[0]) * 0.5
+    y_c = (box[3] + box[1]) * 0.5
+    ebox = np.array([x_c - w_half, y_c - h_half, x_c + w_half,
+                     y_c + h_half]).astype(np.int32)
+
+    w = max(int(ebox[2] - ebox[0] + 1), 1)
+    h = max(int(ebox[3] - ebox[1] + 1), 1)
+    resized = _bilinear_resize(padded, h, w)
+    binm = resized > thresh if thresh >= 0 else resized > 0
+
+    im_mask = np.zeros((im_h, im_w), bool)
+    x_0 = max(int(ebox[0]), 0)
+    x_1 = min(int(ebox[2]) + 1, im_w)
+    y_0 = max(int(ebox[1]), 0)
+    y_1 = min(int(ebox[3]) + 1, im_h)
+    if x_1 > x_0 and y_1 > y_0:
+        im_mask[y_0:y_1, x_0:x_1] = binm[
+            y_0 - ebox[1]:y_1 - ebox[1], x_0 - ebox[0]:x_1 - ebox[0]]
+    return im_mask
+
+
+def paste_masks_in_image(mask_probs: np.ndarray, boxes: np.ndarray,
+                         im_h: int, im_w: int, thresh: float = 0.5,
+                         padding: int = 1) -> np.ndarray:
+    """(N, M, M) mask probs + (N, 4) xyxy -> (N, im_h, im_w) bool masks
+    ready for segm-AP scoring (evaluation.coco_map iou_type="segm")."""
+    if len(mask_probs) == 0:
+        return np.zeros((0, im_h, im_w), bool)
+    return np.stack([
+        paste_mask_in_image(m, b, im_h, im_w, thresh, padding)
+        for m, b in zip(np.asarray(mask_probs, np.float64),
+                        np.asarray(boxes, np.float64))])

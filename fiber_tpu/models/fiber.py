@@ -384,3 +384,21 @@ class FiberCoarse(nn.Module):
             img_emb = self.encode_image_caption(img)
             self.infer_caption(text_ids, text_masks, img_emb)
         return out
+
+
+def init_rank_from_itm(params):
+    """Copy the ITM head's positive-class row into the rank head — the
+    reference does this at irtr-finetune start so rerank scores begin as
+    the ITM match logit (ref fiber_module.py:112-114).  Returns a new
+    params tree; no-op if either head is absent."""
+    if "itm_score" not in params or "rank_output" not in params:
+        return params
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    k = flat.get(("itm_score", "fc", "kernel"))
+    b = flat.get(("itm_score", "fc", "bias"))
+    if k is None:
+        return params
+    flat[("rank_output", "kernel")] = k[:, 1:2]
+    flat[("rank_output", "bias")] = b[1:2]
+    return flax.traverse_util.unflatten_dict(flat)

@@ -110,3 +110,28 @@ def test_grounding_dataset_with_real_bpe(bpe, tmp_path):
     assert (rec["positive_map"].sum(axis=1) > 0).all()
     for l, toks in rec["label_to_token"].items():
         assert len(toks) > 0
+
+
+def test_get_tokenizer_resolves_bpe_dir(tmp_path):
+    """CLI tokenizer plumbing: a bare vocab+merges dir resolves to the
+    real BPE; a bogus spec falls back to whitespace with a warning."""
+    import warnings
+
+    from fiber_tpu.data.tokenizer import WhitespaceTokenizer, get_tokenizer
+
+    specials = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"]
+    vocab = {t: i for i, t in enumerate(specials + _CHARS + _MERGED)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(_MERGES) + "\n")
+
+    tok = get_tokenizer(str(tmp_path))
+    enc = tok("a dog", return_offsets_mapping=True)
+    assert "dog" in tok.get_vocab() or "Ġdog" in tok.get_vocab()
+    assert len(enc["input_ids"]) >= 3  # <s> ... </s>
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fallback = get_tokenizer(str(tmp_path / "missing"))
+    assert isinstance(fallback, WhitespaceTokenizer)
+    assert any("falling back" in str(x.message) for x in w)

@@ -1,0 +1,122 @@
+"""On-device preprocessing: parity with the PIL path + sanity.
+
+The eval path (device_eval_preprocess) must reproduce the reference's
+albef_transform — PIL Resize((S,S), BICUBIC) + normalize
+(ref transform.py:10-18) — within a documented tolerance: jax "cubic" is
+the same Keys a=-0.5 kernel family as PIL BICUBIC and both antialias on
+downscale, but tap windows differ slightly, so pixels agree to a few
+/255, not bitwise.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fiber_tpu.data import device_transforms as dt
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _rand_pil(rng, w, h):
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # smooth it so resampler differences aren't amplified by noise
+    arr = arr.astype(np.float32)
+    for ax in (0, 1):
+        arr = (np.roll(arr, 1, ax) + arr + np.roll(arr, -1, ax)) / 3
+    return Image.fromarray(arr.astype(np.uint8))
+
+
+def test_stage_host_pads_and_downscales():
+    rng = np.random.default_rng(0)
+    img = _rand_pil(rng, 300, 200)
+    staged, hw = dt.stage_host(img, 384)
+    assert staged.shape == (384, 384, 3) and staged.dtype == np.uint8
+    assert tuple(hw) == (200, 300)
+    # padding is edge-replicated, not black
+    assert (staged[200:, :300] == staged[199, :300][None]).all()
+    assert (staged[:, 300:] == staged[:, 299][:, None]).all()
+
+    big = _rand_pil(rng, 800, 600)
+    staged2, hw2 = dt.stage_host(big, 384)
+    assert tuple(hw2) == (288, 384)   # aspect kept, max side = 384
+    assert staged2[:288, :384].any()
+
+
+@pytest.mark.parametrize("wh", [(300, 200), (384, 384), (250, 340)])
+def test_eval_preprocess_matches_pil_bicubic(wh):
+    rng = np.random.default_rng(1)
+    w, h = wh
+    out_size = 96
+    img = _rand_pil(rng, w, h)
+
+    staged, hw = dt.stage_host_batch([img], 384)
+    dev = dt.device_eval_preprocess(jnp.asarray(staged), jnp.asarray(hw),
+                                    out_size, dtype_name="float32")
+    dev = np.asarray(dev)[0]
+
+    ref = img.resize((out_size, out_size), Image.BICUBIC)
+    ref = np.asarray(ref, np.float32) / 255.0
+    ref = (ref - np.array(dt.IMAGENET_DEFAULT_MEAN)) / np.array(
+        dt.IMAGENET_DEFAULT_STD)
+
+    # documented tolerance (measured): mean |err| ~0.005-0.012 and p99
+    # ~0.1 in normalized space (std ~0.225 => p99 ~ 6/255 in pixel
+    # space); non-square aspect resizes sit at the high end because the
+    # two resamplers align taps differently under anisotropic scaling
+    err = np.abs(dev - ref)
+    assert err.mean() < 0.02, err.mean()
+    assert np.quantile(err, 0.99) < 0.2, np.quantile(err, 0.99)
+
+
+def test_train_preprocess_shapes_and_finiteness():
+    rng = np.random.default_rng(2)
+    imgs = [_rand_pil(rng, 200, 160), _rand_pil(rng, 130, 240)]
+    staged, hw = dt.stage_host_batch(imgs, 256)
+    out = dt.device_train_preprocess(
+        jnp.asarray(staged), jnp.asarray(hw), jax.random.PRNGKey(0), 96,
+        dtype_name="float32")
+    out = np.asarray(out)
+    assert out.shape == (2, 96, 96, 3)
+    assert np.isfinite(out).all()
+    # normalized range: inside [-3, 3] for uint8 inputs
+    assert out.min() > -3.1 and out.max() < 3.1
+    # different rng -> different crops
+    out2 = np.asarray(dt.device_train_preprocess(
+        jnp.asarray(staged), jnp.asarray(hw), jax.random.PRNGKey(1), 96,
+        dtype_name="float32"))
+    assert np.abs(out - out2).max() > 1e-3
+
+
+def test_train_preprocess_never_samples_padding():
+    """A constant-white image staged into a zero padding buffer must stay
+    white under crop+flip (no randaug): any black leak means the crop
+    sampled outside the native region."""
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(np.full((150, 210, 3), 255, np.uint8))
+    staged, hw = dt.stage_host_batch([img], 256)
+    out = np.asarray(dt.device_train_preprocess(
+        jnp.asarray(staged), jnp.asarray(hw), jax.random.PRNGKey(4), 64,
+        dtype_name="float32", n_randaug=0))
+    white = (1.0 - np.array(dt.IMAGENET_DEFAULT_MEAN)) / np.array(
+        dt.IMAGENET_DEFAULT_STD)
+    err = np.abs(out[0] - white).max()
+    assert err < 0.05, err
+
+
+def test_randaug_identity_op_preserves_image():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)), jnp.float32)
+    out = dt._randaug_geometric(img, jnp.int32(0), jnp.float32(0.3), 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+
+
+@pytest.mark.parametrize("op", [1, 2, 3, 4, 5])
+def test_randaug_zero_magnitude_is_identity(op):
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)), jnp.float32)
+    out = dt._randaug_geometric(img, jnp.int32(op), jnp.float32(0.0), 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                               atol=1e-3)

@@ -267,3 +267,61 @@ def test_box_proposal_ar_parity(ref, area, limit):
     np.testing.assert_allclose(mine["ar"], float(ref_out["ar"]),
                                atol=1e-7)
     assert mine["num_pos"] == int(ref_out["num_pos"])
+
+
+# ---------------------------------------------------------------------------
+# Masker (mask pasting for segm eval)
+# ---------------------------------------------------------------------------
+def test_paste_mask_parity(ref):
+    from maskrcnn_benchmark.modeling.roi_heads.mask_head.inference import \
+        paste_mask_in_image
+
+    from fiber_tpu.detection.structures import paste_masks_in_image
+
+    rng = np.random.default_rng(3)
+    im_h, im_w = 120, 160
+    N, M = 8, 28
+    probs = rng.uniform(0, 1, (N, M, M))
+    boxes = np.concatenate([
+        rng.uniform(-10, 100, (N, 2)),
+        rng.uniform(20, 70, (N, 2))], axis=1)
+    boxes[:, 2:] += boxes[:, :2]
+
+    mine = paste_masks_in_image(probs, boxes, im_h, im_w)
+    for i in range(N):
+        ref_mask = paste_mask_in_image(
+            torch.as_tensor(probs[i], dtype=torch.float32),
+            torch.as_tensor(boxes[i], dtype=torch.float32), im_h, im_w)
+        agree = (mine[i] == ref_mask.numpy()).mean()
+        # fp32 torch vs fp64 numpy bilinear: pixels at the 0.5 threshold
+        # can flip; demand near-exact agreement
+        assert agree > 0.999, (i, agree)
+
+
+def test_segm_map_from_pasted_masks(ref):
+    """End-to-end: pasted predicted masks scored with segm AP; perfect
+    masks give AP 1.0, shifted masks score lower."""
+    from fiber_tpu.detection.structures import paste_masks_in_image
+
+    rng = np.random.default_rng(4)
+    im_h, im_w = 96, 96
+    preds, gts = [], []
+    for _ in range(4):
+        n = 3
+        boxes = np.stack([
+            [8, 8, 40, 40], [50, 20, 80, 60], [20, 60, 60, 90]
+        ]).astype(np.float64)
+        probs = np.ones((n, 28, 28)) * 0.99
+        masks = paste_masks_in_image(probs, boxes, im_h, im_w)
+        gts.append({"boxes": boxes, "labels": np.ones(n), "masks": masks})
+        preds.append({"boxes": boxes, "labels": np.ones(n),
+                      "scores": rng.uniform(0.5, 1, n), "masks": masks})
+    out = ev.coco_map(preds, gts, iou_type="segm")
+    assert out["mAP"] == pytest.approx(1.0)
+
+    shifted = [{"boxes": p["boxes"] + 6.0, "labels": p["labels"],
+                "scores": p["scores"],
+                "masks": np.roll(p["masks"], 6, axis=2)}
+               for p in preds]
+    out2 = ev.coco_map(shifted, gts, iou_type="segm")
+    assert out2["mAP"] < out["mAP"]

@@ -24,7 +24,8 @@ import numpy as np
 from fiber_tpu.data.od_to_grounding import (build_detection_prompt,
                                             build_label_to_token_map,
                                             chunk_class_names)
-from fiber_tpu.data.tokenizer import WhitespaceTokenizer
+from fiber_tpu.data.tokenizer import (WhitespaceTokenizer,
+                                      get_tokenizer)
 from fiber_tpu.detection.detector import (DetectorConfig, GroundingDetector,
                                           detection_inference)
 from fiber_tpu.detection.evaluation import (check_expected_results,
@@ -115,6 +116,9 @@ def main(argv=None):
     p.add_argument("--chunk-size", type=int, default=3)
     p.add_argument("--expected", default=None,
                    help='JSON list of [metric, mean, tol] asserts')
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer name/path (default roberta-base; "
+                        "falls back to whitespace with a warning)")
     args = p.parse_args(argv)
 
     cfg = (DetectorConfig.tiny_test() if args.tiny
@@ -123,7 +127,7 @@ def main(argv=None):
     model = GroundingDetector(cfg)
     H, W = cfg.image_size
     rng = np.random.default_rng(0)
-    tok = WhitespaceTokenizer()
+    tok = get_tokenizer(args.tokenizer)
     names = {1: "person", 2: "dog", 3: "car", 4: "cat", 5: "bus"}
 
     images = rng.standard_normal(

@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--ann-file", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer name/path (default roberta-base; "
+                        "falls back to whitespace with a warning)")
     args = p.parse_args(argv)
 
     from fiber_tpu.parallel.multihost import maybe_initialize_distributed
@@ -78,9 +81,9 @@ def main(argv=None):
     if args.ann_file:
         from fiber_tpu.data.coco_datasets import CocoGroundingDataset
         from fiber_tpu.data.loader import DetectionBatcher
-        from fiber_tpu.data.tokenizer import WhitespaceTokenizer
+        from fiber_tpu.data.tokenizer import get_tokenizer
         ds = CocoGroundingDataset(args.img_root, args.ann_file,
-                                  WhitespaceTokenizer(),
+                                  get_tokenizer(getattr(args, 'tokenizer', None)),
                                   max_query_len=cfg.max_query_len)
         if args.shots:
             keep = x_shot_subset(
