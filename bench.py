@@ -115,20 +115,81 @@ def main():
     #  sums to 109.2 GF for one full forward, matching FLOPS_PER_PAIR)
     TRUNK_GF, PRE_GF, TAIL_GF = 69.11e9, 3.57e9, 36.52e9
     executed = n_images * TRUNK_GF + n_texts * PRE_GF + n_pairs * TAIL_GF
-    print(json.dumps({
+    diag = {
         "pairs": n_pairs, "sec_per_rerank": round(dt, 4),
         "executed_tf_per_s": round(executed / dt / 1e12, 2),
         "executed_mfu_v5e": round(executed / dt / V5E_PEAK, 4),
         "reference_work_mfu_v5e": round(
             pairs_per_sec * FLOPS_PER_PAIR / V5E_PEAK, 4),
         "a100_baseline_pairs_per_s": round(A100_BASELINE_PAIRS, 1),
-    }), file=sys.stderr)
+    }
+    # Secondary metric: zero-shot detection throughput vs its own derived
+    # baseline (BASELINE.md "detection baseline": the reference eval is
+    # batch-1-constrained, generalized_vl_rcnn.py:363).  Off by default
+    # off-TPU; FIBER_BENCH_DET=0 skips it on TPU too.
+    if on_tpu and os.environ.get("FIBER_BENCH_DET", "1") != "0":
+        try:
+            diag.update(_detection_bench())
+        except Exception as e:  # never fail the headline metric
+            diag["det_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(diag), file=sys.stderr)
     print(json.dumps({
         "metric": "itm_rerank_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS, 3),
     }))
+
+
+def _detection_bench(batch: int = 2, reps: int = 3):
+    """Fusion Swin-B + VLDyHead forward at the reference test resolution
+    (800x1344, 256-token prompt); see tools/bench_det.py for the
+    standalone version and BASELINE.md for the baseline derivation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fiber_tpu.detection.detector import (DetectorConfig,
+                                              GroundingDetector)
+
+    cfg = DetectorConfig(image_size=(800, 1344),
+                         compute_dtype=jnp.bfloat16)
+    model = GroundingDetector(cfg)
+    H, W = cfg.image_size
+    rng = np.random.default_rng(0)
+    B = batch
+    images = jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.5,
+                         cfg.compute_dtype)
+    L = cfg.max_query_len
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, L)), jnp.int32)
+    msk = jnp.ones((B, L), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, ids,
+                                    msk)
+
+    @jax.jit
+    def fwd(v, im, i, m):
+        out = model.apply(v, im, i, m)
+        ho = out["head_out"]
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for lvl in ho.values() for x in
+                   (lvl if isinstance(lvl, (list, tuple)) else [lvl]))
+
+    float(fwd(variables, images, ids, msk))  # compile + warm
+    t0 = time.perf_counter()
+    s = None
+    for r in range(reps):
+        s = fwd(variables, images * (1.0 + r * 1e-6), ids, msk)
+    float(s)
+    det_dt = (time.perf_counter() - t0) / reps
+    DET_FLOPS = 1213.3e9
+    det_baseline = 312e12 * 0.04 / DET_FLOPS
+    return {
+        "det_img_per_s_per_chip": round(B / det_dt, 3),
+        "det_batch": B,
+        "det_executed_tf_per_s": round(B * DET_FLOPS / det_dt / 1e12, 2),
+        "det_a100_baseline_img_per_s": round(det_baseline, 2),
+        "det_vs_baseline": round(B / det_dt / det_baseline, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -62,6 +62,10 @@ class DetectorConfig:
     mlm_loss_for_only_positives: bool = True
     mask_token_id: int = 50264       # roberta <mask>
     pad_token_id: int = 1
+    # Pallas fused window-attention kernel in the Swin stages (vs the XLA
+    # lowering, which at detection resolutions round-trips multi-GB fp32
+    # attention probs through HBM); auto-gated off on non-TPU backends.
+    use_pallas_attention: bool = True
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -94,7 +98,8 @@ class GroundingDetector(nn.Module):
             num_text_heads=c.num_text_heads,
             max_query_len=c.max_query_len,
             fusion_version=c.fusion_version,
-            add_linear_layer=c.add_linear_layer, dtype=c.compute_dtype)
+            add_linear_layer=c.add_linear_layer,
+            use_pallas=c.use_pallas_attention, dtype=c.compute_dtype)
         self.rpn = VLDyHead(
             num_convs=c.num_dyhead_convs, in_channels=c.out_channels,
             channels=c.out_channels, lang_dim=c.lang_dim,

@@ -118,15 +118,24 @@ def compute_itc(model: FiberCoarse, variables, batch, queue: ItcQueue,
     idx_t2i = mine(sim_t2i, k1)   # hard negative images for each text
     idx_i2t = mine(sim_i2t, k2)   # hard negative texts for each image
 
-    tot_image = jnp.concatenate(
-        [img.astype(queue.image_inputs.dtype), queue.image_inputs], axis=0)
-    tot_ids = jnp.concatenate([ids, queue.text_inputs], axis=0)
-    tot_masks = jnp.concatenate([masks, queue.text_masks], axis=0)
+    # Gather the mined negatives' raw inputs from [batch | queue] WITHOUT
+    # materializing the concatenation: the raw-image queue is ~3.6 GB at
+    # 4096 x 384^2 bf16, and concat+take forced a full extra copy that
+    # pushed the B=8 step past the compiler's memory budget (round-3
+    # bisect).  Two bounded gathers + a select touch only B rows.
+    def dual_gather(batch_arr, queue_arr, idx):
+        from_batch = jnp.take(batch_arr, jnp.clip(idx, 0, B - 1), axis=0)
+        from_queue = jnp.take(queue_arr,
+                              jnp.clip(idx - B, 0, queue.size - 1), axis=0)
+        sel = (idx < B).reshape((-1,) + (1,) * (batch_arr.ndim - 1))
+        return jnp.where(sel, from_batch,
+                         from_queue.astype(batch_arr.dtype))
 
     negatives = {
-        "image_neg": jnp.take(tot_image, idx_t2i, axis=0).astype(img.dtype),
-        "text_neg": jnp.take(tot_ids, idx_i2t, axis=0),
-        "text_mask_neg": jnp.take(tot_masks, idx_i2t, axis=0),
+        "image_neg": dual_gather(img, queue.image_inputs,
+                                 idx_t2i).astype(img.dtype),
+        "text_neg": dual_gather(ids, queue.text_inputs, idx_i2t),
+        "text_mask_neg": dual_gather(masks, queue.text_masks, idx_i2t),
     }
 
     new_queue = queue.enqueue(image_feat, text_feat, img, ids, masks) \

@@ -171,6 +171,103 @@ class CoarseTrainer:
                           opt_state=new_opt, queue=new_queue,
                           ema_params=ema), metrics
 
+    # ------------------------------------------------------------------
+    # Split train step: the full-step program partitioned into three
+    # separately-compiled jits so each stays within the relay compile
+    # helper's capacity (round-3 bisect, docs/ROUND3_NOTES.md: the
+    # monolithic mlm+itc+hard-neg-itm program crashes the helper at
+    # micro-batch >= 8 and the scan-inside-grad chunked variant crashes
+    # at ANY batch, while {mlm,itc} and {itm} each compile fine at B=8).
+    # Intermediate device values flow between the jits without host
+    # fetches, so the extra dispatches pipeline for free on this
+    # runtime.  Losses/grads are identical to train_step by construction
+    # (tested: tests/test_trainer.py::test_split_step_matches_monolithic).
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def _split_grads_a(self, params, batch, queue, rng):
+        """mlm + itc grads (+ queue update + mined negatives), with the
+        exact rng sequence of the monolithic loss_fn/pretrain_losses so
+        the mined negatives match what the one-program step would use."""
+        def loss_a(p):
+            variables = {"params": p}
+            rng_l, drop = jax.random.split(rng)
+            rngs = {"dropout": drop}
+            out = {}
+            new_queue, negatives = queue, None
+            if "mlm" in self.cfg.loss_names:
+                out.update(objectives.compute_mlm(
+                    self.model, variables, batch, rngs=rngs, train=True))
+            if "itc" in self.cfg.loss_names:
+                _, sub = jax.random.split(rng_l)
+                itc_out, new_queue, negatives = objectives.compute_itc(
+                    self.model, variables, batch, queue, sub, rngs=rngs,
+                    train=True)
+                out.update(itc_out)
+            parts = [v for k, v in out.items() if k.endswith("_loss")]
+            total = (jnp.sum(jnp.stack(parts)) if parts
+                     else jnp.zeros((), jnp.float32))
+            return total, (out, new_queue, negatives)
+
+        (loss, (metrics, new_queue, negatives)), grads = \
+            jax.value_and_grad(loss_a, has_aux=True)(params)
+        return grads, loss, metrics, new_queue, negatives
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _split_grads_b(self, params, batch, negatives, rng):
+        """hard-negative ITM grads."""
+        def loss_b(p):
+            _, drop = jax.random.split(rng)
+            out = objectives.compute_itm_hardneg(
+                self.model, {"params": p}, batch, negatives,
+                rngs={"dropout": drop}, train=True)
+            return out["itm_loss"], out
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_b, has_aux=True)(params)
+        return grads, loss, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _split_apply(self, state: TrainState, grads_a, grads_b, loss_a,
+                     loss_b, new_queue):
+        grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+        loss = loss_a + loss_b
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = self._tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt, queue=new_queue,
+                          ema_params=ema)
+
+    def train_step_split(self, state: TrainState, batch, rng):
+        """Three-dispatch equivalent of train_step for micro-batches the
+        monolithic program cannot compile on this runtime."""
+        # part A consumes `rng` exactly like the monolithic loss_fn so
+        # the mined negatives (and all part-A draws) are identical;
+        # part B's dropout key is an independent fold
+        rng_a, rng_b = rng, jax.random.fold_in(rng, 1)
+        grads_a, loss_a, metrics, new_queue, negatives = \
+            self._split_grads_a(state.params, batch, state.queue, rng_a)
+        if negatives is not None:
+            grads_b, loss_b, metrics_b = self._split_grads_b(
+                state.params, batch, negatives, rng_b)
+            metrics = {**metrics, **metrics_b}
+        else:
+            grads_b = jax.tree_util.tree_map(jnp.zeros_like, grads_a)
+            loss_b = jnp.float32(0.0)
+        new_state = self._split_apply(state, grads_a, grads_b, loss_a,
+                                      loss_b, new_queue)
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss_a + loss_b
+        return new_state, metrics
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch, rng):
         loss, (metrics, _) = self.loss_fn(state.params, batch, state.queue,

@@ -111,3 +111,34 @@ def test_train_step_multidevice_matches_queue_semantics():
     assert jnp.isfinite(metrics["itc_loss"])
     assert int(state.queue.total) == 8
     assert int(state.queue.ptr) == 8 % cfg.itc_queue_size
+
+
+def test_split_step_matches_monolithic():
+    """train_step_split (three separately-compiled programs, the
+    workaround for the relay compile-helper limit at micro-batch >= 8)
+    must reproduce the monolithic train_step exactly when the model is
+    deterministic: same rng sequence -> same mined negatives -> same
+    losses, params, and queue."""
+    cfg = FiberConfig.tiny_test(loss_names=("itm", "mlm", "itc"))
+    t1 = CoarseTrainer(cfg)
+    t2 = CoarseTrainer(cfg)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    s2 = t2.init_state(jax.random.PRNGKey(0))
+    batch = _make_batch(cfg, 4)
+    rng = jax.random.PRNGKey(5)
+
+    s1, m1 = t1.train_step(s1, batch, rng)
+    s2, m2 = t2.train_step_split(s2, batch, rng)
+
+    for k in ("itm_loss", "itc_loss", "mlm_loss", "total_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-5,
+                                   err_msg=k)
+    # queue state identical (enqueue order + contents)
+    np.testing.assert_allclose(np.asarray(s1.queue.image_feats),
+                               np.asarray(s2.queue.image_feats),
+                               atol=1e-6)
+    assert int(s1.queue.ptr) == int(s2.queue.ptr)
+    # parameters after the optimizer step match
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5

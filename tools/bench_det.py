@@ -73,11 +73,20 @@ def main():
     _ = float(s)
     dt = (time.perf_counter() - t0) / args.reps
 
+    # Derived A100 baseline (BASELINE.md): the reference eval is
+    # constrained to batch 1/GPU (generalized_vl_rcnn.py:363); 1213.3 GF
+    # per 800x1344 image (XLA cost analysis) at an assumed 4% batch-1
+    # eager MFU on a 312 TF/s A100.
+    DET_FLOPS = 1213.3e9
+    det_baseline = 312e12 * 0.04 / DET_FLOPS
     print(json.dumps({
         "metric": "detector_images_per_sec_per_chip",
         "resolution": [H, W], "batch": B,
         "sec_per_batch": round(dt, 4),
+        "executed_tf_per_s": round(B * DET_FLOPS / dt / 1e12, 2),
+        "a100_baseline_img_per_s": round(det_baseline, 2),
         "value": round(B / dt, 3), "unit": "img/s/chip",
+        "vs_baseline": round(B / dt / det_baseline, 3),
     }))
 
 
