@@ -83,8 +83,17 @@ def atss_grounding_loss(
     text_masks: jax.Array,             # (B, T)
     reg_loss_weight: float = 2.0,
     topk: int = 9,
+    assign=None,
 ) -> Dict[str, jax.Array]:
-    """head_out: per-level lists from VLDyHead; flattened to (B, N, ...)."""
+    """head_out: per-level lists from VLDyHead; flattened to (B, N, ...).
+
+    Optional head outputs produce optional loss entries: "token_logits"
+    -> loss_token (GLIP soft-token focal, ref loss.py:1218-1224) and
+    "contrastive_logits" -> loss_contrastive_align (MDETR InfoNCE, ref
+    loss.py:1226-1229).  Pass a precomputed ``assign`` (from
+    batched_atss_assign) to share the assignment with the shallow
+    contrastive head.
+    """
     B = gt_boxes.shape[0]
 
     def flat(per_level, ch):
@@ -97,8 +106,9 @@ def atss_grounding_loss(
     dot_logits = jnp.concatenate(head_out["dot_product_logits"],
                                  axis=1)                     # (B, N, T)
 
-    assign = batched_atss_assign(anchors, level_sizes, gt_boxes, gt_valid,
-                                 topk=topk)
+    if assign is None:
+        assign = batched_atss_assign(anchors, level_sizes, gt_boxes,
+                                     gt_valid, topk=topk)
     pos = assign.pos_mask                                    # (B, N)
     num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
 
@@ -130,6 +140,23 @@ def atss_grounding_loss(
     ctr_loss = jnp.where(pos, centerness_bce(centerness, ctr_t),
                          0.0).sum() / num_pos
 
-    return {"loss_cls": cls_loss, "loss_reg": reg_loss,
-            "loss_centerness": ctr_loss,
-            "loss_dot_product_token": token_loss}
+    out = {"loss_cls": cls_loss, "loss_reg": reg_loss,
+           "loss_centerness": ctr_loss,
+           "loss_dot_product_token": token_loss}
+
+    if "token_logits" in head_out:          # USE_TOKEN_LOSS
+        t_logits = jnp.concatenate(head_out["token_logits"], axis=1)
+        out["loss_token"] = token_sigmoid_focal_loss(
+            t_logits, token_labels,
+            text_mask=text_masks[:, None, :]).sum() / num_pos
+
+    if "contrastive_logits" in head_out:    # USE_CONTRASTIVE_ALIGN_LOSS
+        from fiber_tpu.detection.contrastive import contrastive_align_loss
+        c_logits = jnp.concatenate(head_out["contrastive_logits"], axis=1)
+        # map labels: matched gt token span at positives, all-False rows
+        # at unmatched anchors (ref loss.py:782-789 — no no-object entry)
+        map_labels = jnp.where(pos[..., None], matched_map > 0, False)
+        out["loss_contrastive_align"] = contrastive_align_loss(
+            c_logits, map_labels) / num_pos
+
+    return out

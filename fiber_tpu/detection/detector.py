@@ -62,6 +62,22 @@ class DetectorConfig:
     mlm_loss_for_only_positives: bool = True
     mask_token_id: int = 50264       # roberta <mask>
     pad_token_id: int = 1
+    # GLIP soft-token head + loss (ref USE_TOKEN_LOSS, defaults.py:488)
+    use_token_loss: bool = False
+    token_loss_weight: float = 1.0
+    # MDETR contrastive alignment (ref USE_CONTRASTIVE_ALIGN_LOSS,
+    # defaults.py:496-498); mutually exclusive with the dot-product head
+    # in the reference but independently togglable here
+    use_contrastive_align: bool = False
+    contrastive_hdim: int = 64
+    contrastive_align_loss_weight: float = 1.0
+    # GLIP shallow contrastive loss over FPN features (ref
+    # USE_SHALLOW_CONTRASTIVE_LOSS, defaults.py:521-528)
+    use_shallow_contrastive: bool = False
+    shallow_contrastive_hdim: int = 64
+    shallow_max_positive_anchors: int = 100
+    shallow_zero_pads: bool = False
+    shallow_contrastive_loss_weight: float = 1.0
     # Pallas fused window-attention kernel in the Swin stages (vs the XLA
     # lowering, which at detection resolutions round-trips multi-GB fp32
     # attention probs through HBM); auto-gated off on non-TPU backends.
@@ -105,7 +121,14 @@ class GroundingDetector(nn.Module):
             channels=c.out_channels, lang_dim=c.lang_dim,
             use_dyrelu=c.use_dyrelu, use_dyfuse=c.use_dyfuse,
             use_deform=c.use_deform, max_query_len=c.max_query_len,
+            use_token_loss=c.use_token_loss,
+            use_contrastive_align=c.use_contrastive_align,
+            contrastive_hdim=c.contrastive_hdim,
             dtype=c.compute_dtype)
+        if c.use_shallow_contrastive:
+            from fiber_tpu.detection.contrastive import ShallowProjections
+            self.shallow_head = ShallowProjections(
+                hdim=c.shallow_contrastive_hdim)
         if c.mlm_loss:
             # BertLMPredictionHead equivalent (ref vldyhead.py:751-756)
             from fiber_tpu.models import heads
@@ -125,6 +148,15 @@ class GroundingDetector(nn.Module):
             # ref vldyhead.py:776-777: the MLM head reads the embedded
             # language features
             out["mlm_logits"] = self.mlm_head(lang["embedded"])
+        if self.cfg.use_shallow_contrastive:
+            # ref vldyhead.py:894-898: the shallow loss reads the RAW FPN
+            # features (pre-dyhead-tower), flattened per level
+            fpn_flat = jnp.concatenate(
+                [f.reshape(f.shape[0], -1, f.shape[-1]) for f in feats],
+                axis=1)
+            qi, qt, ls = self.shallow_head(fpn_flat, lang["embedded"])
+            out["shallow_qi"], out["shallow_qt"] = qi, qt
+            out["shallow_log_scale"] = ls
         return out
 
 
@@ -172,10 +204,41 @@ def detection_loss(model: GroundingDetector, variables, batch, *,
                       rngs=rngs)
     anchors, level_sizes, _ = detector_anchors(
         cfg, batch["images"].shape[1:3])
+    assign = None
+    if cfg.use_shallow_contrastive:
+        from fiber_tpu.detection.atss import batched_atss_assign
+        assign = batched_atss_assign(anchors, level_sizes,
+                                     batch["gt_boxes"], batch["gt_valid"],
+                                     topk=cfg.atss_topk)
     losses = atss_grounding_loss(
         out["head_out"], anchors, level_sizes, batch["gt_boxes"],
         batch["gt_valid"], batch["positive_map"], batch["attention_mask"],
-        reg_loss_weight=cfg.reg_loss_weight, topk=cfg.atss_topk)
+        reg_loss_weight=cfg.reg_loss_weight, topk=cfg.atss_topk,
+        assign=assign)
+    if cfg.use_token_loss:
+        losses["loss_token"] = losses["loss_token"] * cfg.token_loss_weight
+    if cfg.use_contrastive_align:
+        losses["loss_contrastive_align"] = (
+            losses["loss_contrastive_align"]
+            * cfg.contrastive_align_loss_weight)
+    if cfg.use_shallow_contrastive:
+        # batch supplies gt_od_labels (B, G) "original_od_label" and
+        # od_label_of_tokens (B, T) "positive_map_for_od_labels" (-1 = no
+        # label), built by data/od_to_grounding.py
+        from fiber_tpu.detection.contrastive import (
+            select_shallow_anchors, shallow_contrastive_loss)
+        num_pos = jnp.maximum(
+            assign.pos_mask.sum().astype(jnp.float32), 1.0)
+        sel_idx, sel_is_pos = select_shallow_anchors(
+            assign.pos_mask, assign.assigned_gt,
+            cfg.shallow_max_positive_anchors)
+        losses["loss_shallow_contrastive"] = shallow_contrastive_loss(
+            out["shallow_qi"], out["shallow_qt"],
+            out["shallow_log_scale"], batch["attention_mask"], sel_idx,
+            sel_is_pos, assign.assigned_gt, batch["positive_map"],
+            batch["gt_od_labels"], batch["od_label_of_tokens"], num_pos,
+            zero_pads=cfg.shallow_zero_pads,
+        ) * cfg.shallow_contrastive_loss_weight
     if mlm_labels is not None:
         from fiber_tpu.detection import mlm as det_mlm
         losses["mlm_loss"] = det_mlm.mlm_loss(

@@ -193,6 +193,14 @@ class VLDyHead(nn.Module):
     # ref vldyhead.py:627-668)
     early_fuse: str = "none"
     num_text_heads: int = 12
+    # GLIP soft-token head: 1x1 conv to A*T per-token logits
+    # (ref vldyhead.py:684-686, USE_TOKEN_LOSS)
+    use_token_loss: bool = False
+    # MDETR contrastive-align head (ref vldyhead.py:692-698, 845-855,
+    # USE_CONTRASTIVE_ALIGN_LOSS; mutually exclusive with the dot-product
+    # head in the reference)
+    use_contrastive_align: bool = False
+    contrastive_hdim: int = 64           # CONTRASTIVE_HIDDEN_DIM
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -250,6 +258,21 @@ class VLDyHead(nn.Module):
             jnp.float32)
         self.scales = self.param("scales", nn.initializers.ones, (5,),
                                  jnp.float32)
+        if self.use_token_loss:
+            # bias init'd to the focal prior like cls_logits
+            # (ref vldyhead.py:725-733)
+            self.token_logits = nn.Conv(
+                self.num_anchors * self.max_query_len, (1, 1),
+                dtype=self.dtype, kernel_init=nn.initializers.normal(0.01),
+                bias_init=nn.initializers.constant(bias_value))
+        if self.use_contrastive_align:
+            self.contrastive_align_projection_image = nn.Conv(
+                self.num_anchors * self.contrastive_hdim, (1, 1),
+                dtype=self.dtype, kernel_init=nn.initializers.normal(0.01))
+            # ref vldyhead.py:697 declares Linear(channels, hdim) but feeds
+            # the lang_dim-wide embedding; input width is inferred here
+            self.contrastive_align_projection_text = nn.Dense(
+                self.contrastive_hdim, dtype=self.dtype)
 
     def __call__(self, feats: Sequence[jax.Array],
                  lang_embedding: jax.Array,
@@ -302,6 +325,17 @@ class VLDyHead(nn.Module):
         B, T = emb.shape[0], emb.shape[1]
         A, C = self.num_anchors, self.channels
         pt = proj_tokens.reshape(B, T, A, C)
+        if self.use_token_loss:
+            out["token_logits"] = []
+        if self.use_contrastive_align:
+            # MDETR-style: normalized projection of the RAW text hidden
+            # states (ref vldyhead.py:787, before the dot-product head's
+            # in-place normalize)
+            from fiber_tpu.detection.contrastive import safe_l2_normalize
+            ct = safe_l2_normalize(self.contrastive_align_projection_text(
+                lang_embedding).astype(jnp.float32))
+            ct = ct.reshape(B, T, 1, self.contrastive_hdim)  # A broadcast
+            out["contrastive_logits"] = []
         for l, f in enumerate(x):
             out["box_cls"].append(self.cls_logits(f))
             out["bbox_reg"].append(self.bbox_pred(f)
@@ -317,4 +351,20 @@ class VLDyHead(nn.Module):
             logit = jnp.clip(logit, -50000.0, 50000.0)
             out["dot_product_logits"].append(
                 logit.reshape(Bf, H * W * A, T))
+            if self.use_token_loss:
+                out["token_logits"].append(
+                    self.token_logits(f).reshape(Bf, H * W * A, T))
+            if self.use_contrastive_align:
+                from fiber_tpu.detection.contrastive import \
+                    safe_l2_normalize
+                q = safe_l2_normalize(
+                    self.contrastive_align_projection_image(f).reshape(
+                        Bf, H * W, A,
+                        self.contrastive_hdim).astype(jnp.float32))
+                # (B, HW, A, h) x (B, T, 1, h) -> (B, HW, A, T)
+                cl = jnp.einsum("bqah,btzh->bqat", q, ct,
+                                preferred_element_type=jnp.float32)
+                cl = cl / jnp.exp(self.log_scale)
+                out["contrastive_logits"].append(
+                    cl.reshape(Bf, H * W * A, T))
         return out

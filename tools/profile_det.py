@@ -102,7 +102,7 @@ def main():
     # stages 1-2 (embed + 2 stages, matching the fusion backbone's loop)
     def s12(v, d, eps):
         b = model.bind(v).backbone
-        x = b.patch_embed(d * (1.0 + eps), deterministic=True)
+        x = b.patch_embed(d * (1.0 + eps))
         for s in range(2):
             stage = b.stages[s]
             for blk in stage.blocks:
