@@ -64,8 +64,17 @@ def synthetic_batches(cfg: FiberConfig, batch_size: int,
 
 
 def arrow_batches(cfg: FiberConfig, paths, batch_size: int,
-                  tokenizer=None, seed: int = 0):
-    """Batches from reference-format .arrow files."""
+                  tokenizer=None, seed: int = 0,
+                  device_preprocess: bool = False,
+                  staging_size: int = 0):
+    """Batches from reference-format .arrow files.
+
+    With device_preprocess=True the host only decodes to uint8 staging
+    buffers ("image_staged" (B, S0, S0, 3) uint8 + "image_sizes" (B, 2));
+    all geometric work (RandomResizedCrop/flip/RandAugment/normalize)
+    runs inside the jit program (data/device_transforms.py) — the single
+    host core cannot keep the chip fed doing PIL bicubic at 384^2
+    (tools/bench_input.py measures both paths)."""
     from fiber_tpu.data.arrow_dataset import (ArrowCaptionDataset,
                                               ShardedBatchIterator)
     from fiber_tpu.data.mlm import mlm_mask
@@ -80,12 +89,20 @@ def arrow_batches(cfg: FiberConfig, paths, batch_size: int,
                               host_id=jax.process_index(),
                               num_hosts=jax.process_count(), seed=seed)
     rng = np.random.default_rng(seed)
+    staging = staging_size or (cfg.image_size * 3) // 2
     for idx in it:
-        images = np.stack([ds.get_image(i, cfg.image_size, train=True,
-                                        rng=rng) for i in idx])
-        images = ((images.astype(np.float32) / 255.0
-                   - np.array([0.485, 0.456, 0.406], np.float32))
-                  / np.array([0.229, 0.224, 0.225], np.float32))
+        if device_preprocess:
+            staged, sizes = zip(*(ds.stage_image(i, staging)
+                                  for i in idx))
+            img_fields = {"image_staged": np.stack(staged),
+                          "image_sizes": np.stack(sizes)}
+        else:
+            images = np.stack([ds.get_image(i, cfg.image_size, train=True,
+                                            rng=rng) for i in idx])
+            images = ((images.astype(np.float32) / 255.0
+                       - np.array([0.485, 0.456, 0.406], np.float32))
+                      / np.array([0.229, 0.224, 0.225], np.float32))
+            img_fields = {"image": images}
         caps = [ds.get_caption(i) for i in idx]
         if hasattr(tokenizer, "batch"):
             enc = tokenizer.batch(caps, max_length=cfg.max_text_len)
@@ -101,7 +118,7 @@ def arrow_batches(cfg: FiberConfig, paths, batch_size: int,
         mlm_ids, labels = mlm_mask(
             ids, special, cfg.vocab_size,
             getattr(tokenizer, "mask_token_id", 4), rng)
-        yield {"image": images, "text_ids": ids, "text_masks": masks,
+        yield {**img_fields, "text_ids": ids, "text_masks": masks,
                "text_ids_mlm": mlm_ids.astype(np.int32),
                "text_labels_mlm": labels.astype(np.int32)}
 
@@ -131,11 +148,24 @@ def train(args) -> Dict[str, float]:
 
     n_dev = mesh.devices.size
     global_batch = args.per_device_batch * n_dev
+    device_pp = args.data != "synthetic" and not args.host_transforms
     if args.data == "synthetic":
         batches = synthetic_batches(cfg, global_batch, args.seed)
     else:
         batches = arrow_batches(cfg, args.data.split(","), global_batch,
-                                seed=args.seed)
+                                seed=args.seed,
+                                device_preprocess=device_pp)
+    if device_pp:
+        from fiber_tpu.data.device_transforms import \
+            device_train_preprocess
+
+        def finish_batch(batch, key):
+            staged = batch.pop("image_staged")
+            sizes = batch.pop("image_sizes")
+            batch["image"] = device_train_preprocess(
+                staged, sizes, key, cfg.image_size,
+                dtype_name=jnp.dtype(cfg.compute_dtype).name)
+            return batch
 
     rng = jax.random.PRNGKey(args.seed + 1)
     metrics = {}
@@ -147,6 +177,9 @@ def train(args) -> Dict[str, float]:
     for step in range(int(state.step), cfg.max_steps):
         batch = trainer.shard_batch(next(batches))
         rng, sub = jax.random.split(rng)
+        if device_pp:
+            sub, pp_key = jax.random.split(sub)
+            batch = finish_batch(batch, pp_key)
         state, metrics = trainer.train_step(state, batch, sub)
         loss = float(metrics["total_loss"])
         # train_step zeroes non-finite grads (ref trainer.py:162-164), so
@@ -188,6 +221,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--host-transforms", action="store_true",
+                   help="PIL geometric transforms on the host instead of "
+                        "the on-device XLA pipeline (arrow data only)")
     p.add_argument("--nan-dump-dir", default=None,
                    help="dump batch+params here on a non-finite loss "
                         "(default: <output-dir>/nan_dumps)")

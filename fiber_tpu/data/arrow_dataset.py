@@ -58,6 +58,17 @@ class ArrowCaptionDataset:
         img = Image.open(io.BytesIO(raw))
         return resize_image(img, size, train=train, rng=rng)
 
+    def stage_image(self, i: int, staging_size: int):
+        """Decode-only host path for the on-device preprocessing pipeline
+        (data/device_transforms.py): returns (uint8 (S0, S0, 3) staging
+        buffer, (h, w) native size) — no PIL filtering on the host."""
+        from PIL import Image
+        from fiber_tpu.data.device_transforms import stage_host
+        row, _ = self.index[i]
+        raw = self.table[self.image_column][row].as_py()
+        img = Image.open(io.BytesIO(raw))
+        return stage_host(img, staging_size)
+
 
 class ShardedBatchIterator:
     """Infinite deterministic per-host iterator.

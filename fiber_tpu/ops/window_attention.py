@@ -104,27 +104,27 @@ def _kernel_call(qkv: jax.Array, bias: jax.Array, num_heads: int,
 
 # Training support: the kernel defines no transpose rule, so give it a
 # custom VJP — forward runs the kernel, backward recomputes attention
-# with the XLA reference formulation and differentiates that (flash-
+# with the packed XLA formulation and differentiates that (flash-
 # attention-style recompute: no (B, nW, h, N, N) probs saved in the
 # residuals; one extra XLA attention per backward).  d(bias) flows so
 # the relative-position-bias table still trains.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _window_attention(qkv, bias, num_heads, windows_per_program,
                       interpret):
-    return _kernel_call(qkv, bias, num_heads, windows_per_program,
-                        interpret)
+    return window_attention_packed_pallas(qkv, bias, num_heads,
+                                          interpret=interpret)
 
 
 def _wa_fwd(qkv, bias, num_heads, windows_per_program, interpret):
-    out = _kernel_call(qkv, bias, num_heads, windows_per_program,
-                       interpret)
+    out = window_attention_packed_pallas(qkv, bias, num_heads,
+                                         interpret=interpret)
     return out, (qkv, bias)
 
 
 def _wa_bwd(num_heads, windows_per_program, interpret, res, g):
     qkv, bias = res
     _, vjp = jax.vjp(
-        lambda q, b: window_attention_windows_reference(q, b, num_heads),
+        lambda q, b: window_attention_packed_xla(q, b, num_heads),
         qkv, bias)
     return vjp(g)
 
@@ -143,11 +143,143 @@ def fused_window_attention_windows(qkv: jax.Array, bias: jax.Array,
     """qkv (B, nW, N, 3C) pre-partitioned + pre-projected;
     bias (nW, h, N, N) additive per-window logit bias (RPB + shift mask).
     Returns (B, nW, N, C).  Differentiable (custom VJP: kernel forward,
-    XLA-recompute backward)."""
+    XLA-recompute backward).
+
+    Round 3: the forward runs the PACKED head-group kernel
+    (window_attention_packed_pallas), 3-4x faster than the batched
+    per-head kernel at every FIBER stage shape (tools/probe_packed.py:
+    s3 0.0281 vs 0.1188, s1 0.33 vs 1.05 ms/item at B=64) — the
+    hd=32 batched dots were the whole-model bottleneck.  The legacy
+    kernel remains as _kernel_call; windows_per_program is kept for API
+    compatibility (the packed grid is (nW, B) and ignores it).
+    """
     del batch_per_program  # probed: multi-batch blocks force Mosaic
     # relayouts that cost far more than the shared-bias DMA they save
     return _window_attention(qkv, bias, num_heads, windows_per_program,
                              interpret)
+
+
+def window_attention_packed_xla(qkv: jax.Array, bias: jax.Array,
+                                num_heads: int) -> jax.Array:
+    """Block-diagonal head-packed window attention, pure XLA.
+
+    At FIBER's head dim 32 the per-head QK^T/PV matmuls contract over
+    K=32 — an MXU pad-to-128 that runs at 1-2 TF/s through Mosaic/XLA
+    batched dots (tools/probe_blk3.py round 3).  Packing G = 128/hd
+    heads into one contraction makes the matmuls dense 2D:
+
+      qm (G*N, Cg)  = heads g*G..g*G+G-1 stacked along M, each masked to
+                      its own hd-wide channel block (block-diagonal)
+      logits        = qm @ k_g^T        -> (G*N, N): row (j, n) only
+                      sees head j's channels of k, so cross-head terms
+                      vanish without any zero-padding of k
+      z             = attn @ v_g        -> (G*N, Cg)
+      out_g (N, Cg) = sum_j z[j] * head-mask  (the head merge, free of
+                      the (h, N, hd) -> (N, C) lane transpose)
+
+    G^2/G = G-fold FLOP overhead (G=4 at hd=32) but every matmul is
+    (576, 128) x (128, 144)-class, which the MXU pipelines at full rate.
+    Numerics identical to the reference path: fp32 logits + softmax,
+    bf16 PV.
+    """
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    G = min(h, max(1, 128 // hd))
+    ng = h // G
+    Cg = G * hd
+    scale = hd ** -0.5
+
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    # (B, nW, ng, N, Cg): head-group channel slices are contiguous
+    qg = q.reshape(B, nW, N, ng, Cg).transpose(0, 1, 3, 2, 4)
+    kg = k.reshape(B, nW, N, ng, Cg).transpose(0, 1, 3, 2, 4)
+    vg = v.reshape(B, nW, N, ng, Cg).transpose(0, 1, 3, 2, 4)
+
+    lane = jnp.arange(Cg)
+    mask = (lane[None, :] // hd == jnp.arange(G)[:, None]).astype(
+        qkv.dtype)                                    # (G, Cg)
+    qm = qg[:, :, :, None] * mask[None, None, None, :, None]
+    qm = qm.reshape(B, nW, ng, G * N, Cg)
+
+    logits = jnp.einsum("bwgmc,bwgnc->bwgmn", qm * scale, kg,
+                        preferred_element_type=jnp.float32)
+    # bias (nW, h, N, N) -> (nW, ng, G*N, N): a pure leading reshape
+    logits = logits + bias.astype(jnp.float32).reshape(
+        1, nW, ng, G * N, N)
+    attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+
+    z = jnp.einsum("bwgmn,bwgnc->bwgmc", attn, vg)    # (B,nW,ng,G*N,Cg)
+    z = z.reshape(B, nW, ng, G, N, Cg) * mask[None, None, None, :, None]
+    out = z.sum(axis=3)                               # (B, nW, ng, N, Cg)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
+    return out.astype(qkv.dtype)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                   scale: float, num_heads: int, hd: int):
+    """Pallas version of the packed formulation: one grid cell per
+    (window, batch) element; all head groups processed with dense 2D
+    matmuls entirely in VMEM.
+
+    q/k/v_ref (1, 1, N, C); bias_ref (1, h*N, N) fp32 (leading-folded
+    outside); out_ref (1, 1, N, C)."""
+    _, _, N, C = q_ref.shape
+    G = min(num_heads, max(1, 128 // hd))
+    ng = num_heads // G
+    Cg = G * hd
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 2)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 0)
+    mask = (lane // hd == grp).astype(q_ref.dtype)    # (G, 1, Cg)
+
+    for g in range(ng):
+        sl = slice(g * Cg, (g + 1) * Cg)
+        qg = q_ref[0, 0, :, sl]                       # (N, Cg)
+        kg = k_ref[0, 0, :, sl]
+        vg = v_ref[0, 0, :, sl]
+        qm = (qg[None] * mask).reshape(G * N, Cg)     # block-diagonal
+        logits = jax.lax.dot_general(
+            qm, kg, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (G*N, N)
+        logits = logits * scale + bias_ref[0, g * G * N:(g + 1) * G * N]
+        attn = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
+        z = jax.lax.dot_general(
+            attn, vg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (G*N, Cg)
+        zg = z.reshape(G, N, Cg) * mask
+        out_ref[0, 0, :, sl] = zg.sum(axis=0).astype(out_ref.dtype)
+
+
+def window_attention_packed_pallas(qkv: jax.Array, bias: jax.Array,
+                                   num_heads: int,
+                                   interpret: bool = False) -> jax.Array:
+    """Packed head-group window attention as a Pallas kernel (see
+    window_attention_packed_xla for the math).  Keeps the fp32 logits
+    and the block-diagonal staging entirely in VMEM."""
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    scale = hd ** -0.5
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    bias2 = bias.astype(jnp.float32).reshape(nW, h * N, N)
+
+    spec = pl.BlockSpec((1, 1, N, C), lambda w, b: (b, w, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, num_heads=h,
+                          hd=hd),
+        grid=(nW, B),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, h * N, N), lambda w, b: (w, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, nW, N, C), qkv.dtype),
+        interpret=interpret,
+    )(q, k, v, bias2)
+    return out
 
 
 def window_attention_windows_reference(qkv: jax.Array, bias: jax.Array,

@@ -120,3 +120,39 @@ def test_randaug_zero_magnitude_is_identity(op):
     out = dt._randaug_geometric(img, jnp.int32(op), jnp.float32(0.0), 64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img),
                                atol=1e-3)
+
+
+def test_arrow_device_preprocess_batches(tmp_path):
+    """cli.arrow_batches(device_preprocess=True) yields uint8 staging
+    buffers that device_train_preprocess turns into normalized images —
+    the end-to-end on-device input pipeline used by run.py."""
+    from fiber_tpu.cli import arrow_batches
+    from fiber_tpu.config import FiberConfig
+    from fiber_tpu.data.prepare import make_arrow
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(rng.integers(0, 256, (40 + i, 56, 3),
+                                     dtype=np.uint8)).save(p)
+        paths.append(p)
+    out = str(tmp_path / "data.arrow")
+    make_arrow([{"image_path": p, "caption": f"caption {i}",
+                 "image_id": i, "split": "train"}
+                for i, p in enumerate(paths)], out)
+
+    cfg = FiberConfig.tiny_test()
+    batches = arrow_batches(cfg, [out], batch_size=2, seed=0,
+                            device_preprocess=True)
+    batch = next(batches)
+    assert batch["image_staged"].dtype == np.uint8
+    S0 = (cfg.image_size * 3) // 2
+    assert batch["image_staged"].shape == (2, S0, S0, 3)
+    assert batch["image_sizes"].shape == (2, 2)
+    img = dt.device_train_preprocess(
+        jnp.asarray(batch["image_staged"]),
+        jnp.asarray(batch["image_sizes"]),
+        jax.random.PRNGKey(0), cfg.image_size, dtype_name="float32")
+    assert img.shape == (2, cfg.image_size, cfg.image_size, 3)
+    assert bool(jnp.isfinite(img).all())
