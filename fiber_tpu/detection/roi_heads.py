@@ -261,3 +261,41 @@ def keypoint_head_loss(kp_logits: jax.Array, target_bins: jax.Array,
     vis = target_vis & pos[:, None]
     n_vis = jnp.maximum(vis.sum().astype(jnp.float32), 1.0)
     return jnp.where(vis, nll, 0.0).sum() / n_vis
+
+
+def heatmaps_to_keypoints(kp_logits: jax.Array, rois: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Decode per-roi keypoint heatmaps to image coordinates.
+
+    Reference semantics (keypoint_head/inference.py heatmaps_to_keypoints):
+    cv2-cubic-resize each heatmap to the roi's ceil(w) x ceil(h), argmax
+    per joint, and map the discrete bin back with the Heckbert +0.5
+    center convention.  The per-roi dynamic resize is shape-dynamic and
+    host-bound; this TPU redesign argmaxes at the fixed heatmap
+    resolution and applies the same +0.5 / width-correction mapping with
+    correction = roi_size / heatmap_size, which is the min_size=0 limit
+    of the reference formula without the cubic upsample (sub-bin
+    placement differs by at most half a heatmap bin; the loss trains the
+    argmax bin itself via to_heatmap_targets, so the peak bin matches).
+
+    Args:
+      kp_logits: (R, H, W, K) heatmap logits from KeypointHead.
+      rois: (R, 4) xyxy boxes in image coordinates.
+    Returns:
+      keypoints (R, K, 3) float32 [x, y, visibility=1] and
+      scores (R, K) float32 (peak logit per joint).
+    """
+    R, H, W, K = kp_logits.shape
+    logits = kp_logits.astype(jnp.float32)
+    flat = logits.reshape(R, H * W, K)
+    pos = jnp.argmax(flat, axis=1)                       # (R, K)
+    x_int = (pos % W).astype(jnp.float32)
+    y_int = (pos // W).astype(jnp.float32)
+    scores = jnp.max(flat, axis=1)                       # (R, K)
+    x1, y1 = rois[:, 0], rois[:, 1]
+    w = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    h = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    x = (x_int + 0.5) * (w / W)[:, None] + x1[:, None]
+    y = (y_int + 0.5) * (h / H)[:, None] + y1[:, None]
+    vis = jnp.ones_like(x)
+    return jnp.stack([x, y, vis], axis=-1), scores

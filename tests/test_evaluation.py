@@ -112,3 +112,55 @@ def test_coco_map_speed_500_images():
     m = ev.coco_map(preds, gts)
     assert time.time() - t0 < 10
     assert 0 <= m["mAP"] <= 1
+
+
+def _kpt_gt(xy, size=100.0, vis=None):
+    xy = np.asarray(xy, np.float64)          # (K, 2)
+    K = len(xy)
+    v = np.full(K, 2.0) if vis is None else np.asarray(vis, np.float64)
+    return {"boxes": np.array([[0, 0, size, size]]),
+            "labels": np.array([1]),
+            "areas": np.array([size * size]),
+            "keypoints": np.stack([xy[:, 0], xy[:, 1], v], -1)[None]}
+
+
+def _kpt_pred(xy):
+    xy = np.asarray(xy, np.float64)
+    K = len(xy)
+    return {"boxes": np.array([[0, 0, 100, 100]]),
+            "scores": np.array([0.9]), "labels": np.array([1]),
+            "keypoints": np.stack([xy[:, 0], xy[:, 1],
+                                   np.ones(K)], -1)[None]}
+
+
+def test_keypoint_map_perfect():
+    gt_xy = [[10, 10], [50, 50], [90, 30]]
+    m = ev.coco_map([_kpt_pred(gt_xy)], [_kpt_gt(gt_xy)],
+                    iou_type="keypoints",
+                    kpt_sigmas=np.array([0.1, 0.1, 0.1]))
+    assert m["mAP"] == pytest.approx(1.0)
+
+
+def test_keypoint_map_oks_calibrated():
+    """One joint displaced so OKS = exp(-d^2 / ((2s)^2 * area * 2));
+    with s=0.1, area=1e4, d chosen for OKS ~= 0.7: hits at thresholds
+    .5-.7 only (pycocotools computeOks formula)."""
+    d = np.sqrt(-800.0 * np.log(0.7))
+    gt_xy = [[50.0, 50.0]]
+    pred_xy = [[50.0 + d, 50.0]]
+    m = ev.coco_map([_kpt_pred(pred_xy)], [_kpt_gt(gt_xy)],
+                    iou_type="keypoints", kpt_sigmas=np.array([0.1]))
+    assert m["AP50"] == pytest.approx(1.0)
+    assert m["AP75"] == pytest.approx(0.0)
+    assert 0.3 <= m["mAP"] <= 0.6
+
+
+def test_keypoint_map_invisible_joints_ignored():
+    """v=0 GT joints contribute nothing to OKS (pycocotools: vis mask)."""
+    gt_xy = [[50, 50], [10, 10]]
+    pred_xy = [[50, 50], [999, 999]]        # 2nd joint wildly off
+    m = ev.coco_map([_kpt_pred(pred_xy)],
+                    [_kpt_gt(gt_xy, vis=[2, 0])],
+                    iou_type="keypoints",
+                    kpt_sigmas=np.array([0.1, 0.1]))
+    assert m["mAP"] == pytest.approx(1.0)

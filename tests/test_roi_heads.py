@@ -157,3 +157,53 @@ def test_keypoint_hflip_swaps_sides():
     # left_eye slot now holds the mirrored right_eye
     np.testing.assert_allclose(np.asarray(f.kps[0, 1]), [13., 5., 2.])
     np.testing.assert_allclose(np.asarray(f.kps[0, 2]), [53., 5., 2.])
+
+
+def test_heatmap_decode_round_trip_and_keypoint_ap():
+    """to_heatmap_targets -> one-hot heatmap -> heatmaps_to_keypoints
+    recovers each joint within half a heatmap bin of the GT, and the
+    decoded predictions score keypoint mAP 1.0 (closing the
+    train-target / decode / evaluate loop; ref inference.py
+    heatmaps_to_keypoints + keypoint.py keypoints_to_heat_map)."""
+    from fiber_tpu.detection.evaluation import coco_map
+    rng = np.random.default_rng(0)
+    R, K, HM = 3, 5, 56
+    boxes = np.array([[10., 20., 90., 120.],
+                      [0., 0., 64., 64.],
+                      [30., 40., 150., 100.]], np.float32)
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    # GT joints strictly inside each box
+    u = rng.uniform(0.1, 0.9, (R, K, 2))
+    kps = np.zeros((R, K, 3), np.float32)
+    kps[..., 0] = boxes[:, 0, None] + u[..., 0] * w[:, None]
+    kps[..., 1] = boxes[:, 1, None] + u[..., 1] * h[:, None]
+    kps[..., 2] = 2
+    kp = Keypoints(jnp.asarray(kps), jnp.ones(R, bool))
+    bins, vis = kp.to_heatmap_targets(jnp.asarray(boxes), HM)
+    assert bool(np.asarray(vis).all())
+
+    # heatmap with the target bin as the peak
+    logits = np.full((R, HM, HM, K), -5.0, np.float32)
+    b = np.asarray(bins)
+    for r in range(R):
+        for k in range(K):
+            logits[r, b[r, k] // HM, b[r, k] % HM, k] = 5.0
+    dec, scores = roi_heads.heatmaps_to_keypoints(
+        jnp.asarray(logits), jnp.asarray(boxes))
+    dec = np.asarray(dec)
+    assert dec.shape == (R, K, 3) and np.asarray(scores).shape == (R, K)
+    # within one bin of the GT coordinate
+    assert (np.abs(dec[..., 0] - kps[..., 0])
+            < (w[:, None] / HM) + 1e-4).all()
+    assert (np.abs(dec[..., 1] - kps[..., 1])
+            < (h[:, None] / HM) + 1e-4).all()
+
+    preds = [{"boxes": boxes[r:r + 1], "scores": np.array([0.9]),
+              "labels": np.array([1]), "keypoints": dec[r:r + 1]}
+             for r in range(R)]
+    gts = [{"boxes": boxes[r:r + 1], "labels": np.array([1]),
+            "keypoints": kps[r:r + 1]} for r in range(R)]
+    m = coco_map(preds, gts, iou_type="keypoints",
+                 kpt_sigmas=np.full(K, 0.1))
+    assert abs(m["mAP"] - 1.0) < 1e-6
