@@ -183,7 +183,7 @@ class CoarseTrainer:
     # runtime.  Losses/grads are identical to train_step by construction
     # (tested: tests/test_trainer.py::test_split_step_matches_monolithic).
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
     def _split_grads_a(self, params, batch, queue, rng):
         """mlm + itc grads (+ queue update + mined negatives), with the
         exact rng sequence of the monolithic loss_fn/pretrain_losses so
@@ -226,7 +226,8 @@ class CoarseTrainer:
             loss_b, has_aux=True)(params)
         return grads, loss, metrics
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=0,
+                       donate_argnums=(1, 2, 3, 6))
     def _split_apply(self, state: TrainState, grads_a, grads_b, loss_a,
                      loss_b, new_queue):
         grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
@@ -253,6 +254,10 @@ class CoarseTrainer:
         # the mined negatives (and all part-A draws) are identical;
         # part B's dropout key is an independent fold
         rng_a, rng_b = rng, jax.random.fold_in(rng, 1)
+        # part A DONATES the queue (the 4096-slot raw-image ring is
+        # ~3.6 GB at 384^2 bf16; without donation the old + new rings
+        # both stay live across the dispatch boundary and the B=8 step
+        # ResourceExhausts a 16 GB chip — round-3 bisect)
         grads_a, loss_a, metrics, new_queue, negatives = \
             self._split_grads_a(state.params, batch, state.queue, rng_a)
         if negatives is not None:
@@ -262,8 +267,11 @@ class CoarseTrainer:
         else:
             grads_b = jax.tree_util.tree_map(jnp.zeros_like, grads_a)
             loss_b = jnp.float32(0.0)
-        new_state = self._split_apply(state, grads_a, grads_b, loss_a,
-                                      loss_b, new_queue)
+        # state.queue's buffer was donated into part A: hand _split_apply
+        # a queue-less state so the deleted buffer is never re-passed
+        # (the new queue rides in as its own donated argument)
+        new_state = self._split_apply(state.replace(queue=None), grads_a,
+                                      grads_b, loss_a, loss_b, new_queue)
         metrics = dict(metrics)
         metrics["total_loss"] = loss_a + loss_b
         return new_state, metrics
