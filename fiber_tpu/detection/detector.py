@@ -82,6 +82,13 @@ class DetectorConfig:
     # lowering, which at detection resolutions round-trips multi-GB fp32
     # attention probs through HBM); auto-gated off on non-TPU backends.
     use_pallas_attention: bool = True
+    # GLIP early fusion in the head tower ("none" for FIBER — fusion lives
+    # in the backbone; "mha-b" enables VLFuse+lang layers, ref
+    # vldyhead.py:627-668)
+    early_fuse: str = "none"
+    lang_model: str = "bert"              # lang self-path: bert | clip
+    clamp_bertattn: bool = False          # CLAMP_BERTATTN_* (defaults.py:511)
+    use_fused_features_dot_product: bool = False   # defaults.py:506
     compute_dtype: Any = jnp.float32
 
     @classmethod
@@ -121,6 +128,10 @@ class GroundingDetector(nn.Module):
             channels=c.out_channels, lang_dim=c.lang_dim,
             use_dyrelu=c.use_dyrelu, use_dyfuse=c.use_dyfuse,
             use_deform=c.use_deform, max_query_len=c.max_query_len,
+            early_fuse=c.early_fuse, lang_model=c.lang_model,
+            clamp_bertattn=c.clamp_bertattn,
+            use_fused_features_dot_product=c.use_fused_features_dot_product,
+            num_text_heads=c.num_text_heads,
             use_token_loss=c.use_token_loss,
             use_contrastive_align=c.use_contrastive_align,
             contrastive_hdim=c.contrastive_hdim,

@@ -173,6 +173,42 @@ class DyConv(nn.Module):
         return outs
 
 
+class CLIPTransformerLayer(nn.Module):
+    """Pre-LN CLIP text layer with QuickGELU MLP — the lang self-path used
+    under early fusion when LANGUAGE_BACKBONE.MODEL_TYPE == "clip"
+    (ref vldyhead.py:306-357: ln_1 -> MHA(key_padding_mask) -> residual,
+    ln_2 -> c_fc/QuickGELU/c_proj -> residual; DROP_PATH defaults 0)."""
+
+    width: int = 512
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        B, L, _ = x.shape
+        h, hd = self.num_heads, self.width // self.num_heads
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+        a = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        if mask is not None:
+            # key_padding_mask semantics: padded keys excluded everywhere
+            a = jnp.where(mask.astype(bool)[:, None, None, :], a, -1e9)
+        a = jax.nn.softmax(a, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, self.width)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(o)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(y)
+        y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
+        return x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
+
+
 class VLDyHead(nn.Module):
     """Tower of NUM_CONVS DyConvs + prediction heads
     (ref vldyhead.py:587-916)."""
@@ -193,6 +229,17 @@ class VLDyHead(nn.Module):
     # ref vldyhead.py:627-668)
     early_fuse: str = "none"
     num_text_heads: int = 12
+    # lang self-path layer flavor under early fusion: "bert" (clamped
+    # BertEncoderLayer, ref vldyhead.py:639-652) or "clip"
+    # (CLIPTransformerLayer, ref vldyhead.py:306-357)
+    lang_model: str = "bert"
+    # clamp Bert attention scores to +-50000 (ref modeling_bert.py:139-146,
+    # FUSE_CONFIG.CLAMP_BERTATTN_{MIN_FOR_UNDERFLOW,MAX_FOR_OVERFLOW})
+    clamp_bertattn: bool = False
+    # keep a real lang layer after the LAST VLFuse too; otherwise the
+    # reference appends DummyLayer there (ref vldyhead.py:632,658:
+    # `i < NUM_CONVS-1 or USE_FUSED_FEATURES_DOT_PRODUCT`)
+    use_fused_features_dot_product: bool = False
     # GLIP soft-token head: 1x1 conv to A*T per-token logits
     # (ref vldyhead.py:684-686, USE_TOKEN_LOSS)
     use_token_loss: bool = False
@@ -213,14 +260,26 @@ class VLDyHead(nn.Module):
                        name=f"vlfuse_{i}")
                 for i in range(self.num_convs)
             ]
-            self.lang_layers = [
-                RobertaLayer(hidden_size=self.lang_dim,
-                             num_heads=self.num_text_heads,
-                             intermediate_size=self.lang_dim * 4,
-                             attn_drop=0.1, hidden_drop=0.1,
-                             dtype=self.dtype, name=f"lang_layer_{i}")
-                for i in range(self.num_convs)
-            ]
+            def _lang_layer(i):
+                # the reference puts an identity after the last VLFuse
+                # unless the fused dot-product is consumed downstream
+                # (vldyhead.py:632,658)
+                if (i == self.num_convs - 1
+                        and not self.use_fused_features_dot_product):
+                    return None
+                if self.lang_model == "clip":
+                    return CLIPTransformerLayer(
+                        width=self.lang_dim, num_heads=self.num_text_heads,
+                        dtype=self.dtype, name=f"lang_layer_{i}")
+                return RobertaLayer(
+                    hidden_size=self.lang_dim,
+                    num_heads=self.num_text_heads,
+                    intermediate_size=self.lang_dim * 4,
+                    attn_drop=0.1, hidden_drop=0.1,
+                    score_clamp=50000.0 if self.clamp_bertattn else None,
+                    dtype=self.dtype, name=f"lang_layer_{i}")
+            self.lang_layers = [_lang_layer(i)
+                                for i in range(self.num_convs)]
         self.tower = [
             DyConv(in_channels=self.in_channels if i == 0 else chans,
                    out_channels=chans,
@@ -296,7 +355,14 @@ class VLDyHead(nn.Module):
             for fuse, lang_layer, dyconv in zip(
                     self.fuse_layers, self.lang_layers, self.tower):
                 x, lang = fuse(x, lang)
-                lang["hidden"] = lang_layer(lang["hidden"], attn_mask=ext)
+                if lang_layer is None:          # DummyLayer after last fuse
+                    pass
+                elif isinstance(lang_layer, CLIPTransformerLayer):
+                    lang["hidden"] = lang_layer(lang["hidden"],
+                                                mask=lang_mask)
+                else:
+                    lang["hidden"] = lang_layer(lang["hidden"],
+                                                attn_mask=ext)
                 x = dyconv(x)
             lang_hidden = lang["hidden"]
             if lang_mask is not None:

@@ -125,6 +125,10 @@ class MultiHeadAttention(nn.Module):
     kv_in_dim: Optional[int] = None  # None -> self-attention over x
     attn_drop: float = 0.1
     hidden_drop: float = 0.1
+    # optional half-range clamp on scaled scores, applied BEFORE the
+    # additive mask (GLIP BertSelfAttention clamp_min/max_for_overflow,
+    # ref fine_grained/.../rpn/modeling_bert.py:139-146: +-50000)
+    score_clamp: Optional[float] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -161,6 +165,8 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd))
+        if self.score_clamp is not None:
+            scores = jnp.clip(scores, -self.score_clamp, self.score_clamp)
         if attn_mask is not None:
             scores = scores + attn_mask.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
@@ -208,13 +214,16 @@ class RobertaLayer(nn.Module):
     attn_drop: float = 0.1
     hidden_drop: float = 0.1
     layer_norm_eps: float = 1e-5
+    # self-attention score clamp (GLIP BertEncoderLayer option, ref
+    # vldyhead.py:645-652 CLAMP_BERTATTN_{MIN,MAX})
+    score_clamp: Optional[float] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.attention = MultiHeadAttention(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             attn_drop=self.attn_drop, hidden_drop=self.hidden_drop,
-            dtype=self.dtype)
+            score_clamp=self.score_clamp, dtype=self.dtype)
         self.attn_layer_norm = nn.LayerNorm(epsilon=self.layer_norm_eps,
                                             dtype=self.dtype)
         if self.fuse_t2i:
