@@ -65,26 +65,62 @@ def modulated_deform_conv2d(x: jax.Array, offsets: jax.Array,
     """
     H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
+    K = kh * kw
     Ho, Wo = offsets.shape[0], offsets.shape[1]
     iy = jnp.arange(Ho, dtype=x.dtype) * stride
     ix = jnp.arange(Wo, dtype=x.dtype) * stride
     base_y = jnp.broadcast_to(iy[:, None], (Ho, Wo))
     base_x = jnp.broadcast_to(ix[None, :], (Ho, Wo))
 
-    out = jnp.zeros((Ho, Wo, Cout), jnp.promote_types(x.dtype, jnp.float32))
+    # TPU gathers are HBM-byte-bound (~145 GB/s, tools/probe_take round
+    # 3), so the hot path minimizes materialized intermediates, not
+    # gather count: the 2x2 bilinear footprint is pre-packed into
+    # channels of ONE map over a zero border — xp4[h, w] = [x[h, w] |
+    # x[h, w+1] | x[h+1, w] | x[h+1, w+1]] — so each tap is a single
+    # 4*Cin-wide row gather whose bilinear weighting fuses into one
+    # bf16 write, instead of 4 separately materialized corner gathers
+    # plus an fp32 accumulator round-trip per tap.  The zero border
+    # reproduces dmcn_im2col_bilinear's out-of-map corner semantics
+    # exactly (deform_conv_kernel_cuda.cu:93-122): corner index -1 or
+    # H/W lands on the pad, fully-outside samples die on `valid`.
+    # All K taps then feed one im2col MXU matmul in the input dtype.
+    f32 = jnp.float32
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    xp4 = jnp.concatenate([xp[:-1, :-1], xp[:-1, 1:],
+                           xp[1:, :-1], xp[1:, 1:]], axis=-1)
+    Hp, Wp = H + 1, W + 1
+    xpf = xp4.reshape(Hp * Wp, 4 * Cin)
+
+    taps = []
     k = 0
     for ky in range(kh):
         for kx in range(kw):
-            dy = offsets[..., 2 * k]
-            dx = offsets[..., 2 * k + 1]
-            sy = base_y + (ky - (kh - 1) / 2) + dy
-            sx = base_x + (kx - (kw - 1) / 2) + dx
-            sampled = _bilinear_gather(x, sy, sx)          # (Ho, Wo, Cin)
-            sampled = sampled * mask[..., k][..., None]
-            out = out + jnp.einsum(
-                "hwc,cd->hwd", sampled, weight[ky, kx],
-                preferred_element_type=jnp.float32)
+            dy = offsets[..., 2 * k].astype(f32)
+            dx = offsets[..., 2 * k + 1].astype(f32)
+            sy = base_y.astype(f32) + (ky - (kh - 1) / 2) + dy
+            sx = base_x.astype(f32) + (kx - (kw - 1) / 2) + dx
+            valid = (sy > -1.0) & (sy < H) & (sx > -1.0) & (sx < W)
+            y0f = jnp.floor(sy)
+            x0f = jnp.floor(sx)
+            ly = (sy - y0f)[..., None]
+            lx = (sx - x0f)[..., None]
+            # +1 maps corner -1 onto the zero border; clip keeps already-
+            # masked fully-outside samples in range
+            yi = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Hp - 1)
+            xi = jnp.clip(x0f.astype(jnp.int32) + 1, 0, Wp - 1)
+            g = jnp.take(xpf, yi * Wp + xi, axis=0)    # (Ho, Wo, 4Cin)
+            C = Cin
+            sampled = (g[..., :C] * ((1 - ly) * (1 - lx))
+                       + g[..., C:2 * C] * ((1 - ly) * lx)
+                       + g[..., 2 * C:3 * C] * (ly * (1 - lx))
+                       + g[..., 3 * C:] * (ly * lx))
+            w_pt = valid[..., None] * mask[..., k][..., None].astype(f32)
+            taps.append((sampled * w_pt).astype(x.dtype))
             k += 1
+    cols = jnp.stack(taps, axis=2)                     # (Ho, Wo, K, Cin)
+    out = jnp.einsum("hwkc,kcd->hwd", cols,
+                     weight.reshape(K, Cin, Cout).astype(x.dtype),
+                     preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
