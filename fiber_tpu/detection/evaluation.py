@@ -668,3 +668,306 @@ def check_expected_results(metrics: Dict[str, float],
             errors.append(
                 f"{name}={actual:.4f} outside {mean:.4f}+-{tol:.4f}")
     return errors
+
+
+# ---------------------------------------------------------------------------
+# PASCAL VOC detection mAP
+# ---------------------------------------------------------------------------
+def voc_detection_map(predictions: Sequence[Dict],
+                      ground_truths: Sequence[Dict],
+                      iou_thresh: float = 0.5,
+                      use_07_metric: bool = True) -> Dict:
+    """PASCAL-VOC detection mAP with the reference's exact semantics
+    (evaluation/voc/voc_eval.py:46-210, the chainercv-derived
+    eval_detection_voc; do_voc_evaluation calls it with iou_thresh=0.5,
+    use_07_metric=True at :28-33).
+
+    predictions: per image {"boxes" (N,4) xyxy, "scores" (N,), "labels"}
+    ground_truths: per image {"boxes", "labels", "difficult" (N,) bool}
+    Returns {"ap": {class: ap}, "map": mean of finite APs}.
+
+    Matching quirks preserved: boxes get +1 on their max corner before
+    IoU ("VOC follows integer typed bounding boxes", :104-108); each
+    detection's candidate GT is the argmax-IoU column computed over ALL
+    class GTs at once (not greedy re-argmax, :113-116); a GT is burned
+    (`selec[gt_idx] = True`) by EVERY detection whose argmax landed on it
+    above threshold — including detections the difficult branch already
+    absorbed (:116-126); difficult GTs turn their detections into
+    "ignored" (-1) and are excluded from n_pos (:96, :119-126).
+    """
+    assert len(predictions) == len(ground_truths)
+    n_pos: Dict[int, int] = {}
+    cls_scores: Dict[int, List[np.ndarray]] = {}
+    cls_match: Dict[int, List[np.ndarray]] = {}
+
+    for pred, gt in zip(predictions, ground_truths):
+        p_box = np.asarray(pred.get("boxes", np.zeros((0, 4))), np.float64)
+        p_lbl = np.asarray(pred.get("labels", np.zeros((0,))), np.int64)
+        p_scr = np.asarray(pred.get("scores", np.zeros((0,))), np.float64)
+        g_box = np.asarray(gt.get("boxes", np.zeros((0, 4))), np.float64)
+        g_lbl = np.asarray(gt.get("labels", np.zeros((0,))), np.int64)
+        g_dif = np.asarray(gt.get("difficult",
+                                  np.zeros(len(g_box), bool)), bool)
+        for l in np.unique(np.concatenate([p_lbl, g_lbl]).astype(int)):
+            sel_p = p_lbl == l
+            order = np.argsort(-p_scr[sel_p])
+            pb = p_box[sel_p][order]
+            ps = p_scr[sel_p][order]
+            sel_g = g_lbl == l
+            gb = g_box[sel_g]
+            gd = g_dif[sel_g]
+
+            n_pos[l] = n_pos.get(l, 0) + int((~gd).sum())
+            cls_scores.setdefault(l, []).append(ps)
+            m = np.zeros(len(pb), np.int8)
+            if len(pb) == 0:
+                cls_match.setdefault(l, []).append(m)
+                continue
+            if len(gb) == 0:
+                cls_match.setdefault(l, []).append(m)  # all zeros (FP)
+                continue
+            # VOC integer-box convention: +1 on the max corner
+            # (:104-108) PLUS boxlist_iou's own TO_REMOVE=1 width pad
+            # (structures/boxlist_ops.py:124-126) -> net +2
+            pb1 = pb.copy()
+            pb1[:, 2:] += 2
+            gb1 = gb.copy()
+            gb1[:, 2:] += 2
+            iou = _iou_matrix(pb1, gb1)
+            best = iou.argmax(axis=1)
+            best[iou.max(axis=1) < iou_thresh] = -1
+            claimed = np.zeros(len(gb), bool)
+            for di, gi in enumerate(best):
+                if gi >= 0:
+                    if gd[gi]:
+                        m[di] = -1
+                    elif not claimed[gi]:
+                        m[di] = 1
+                    claimed[gi] = True
+                # else m[di] stays 0
+            cls_match.setdefault(l, []).append(m)
+
+    ap: Dict[int, float] = {}
+    for l, cnt in n_pos.items():
+        scores = np.concatenate(cls_scores[l]) if cls_scores.get(l) \
+            else np.zeros((0,))
+        match = np.concatenate(cls_match[l]) if cls_match.get(l) \
+            else np.zeros((0,), np.int8)
+        order = np.argsort(-scores)
+        match = match[order]
+        tp = np.cumsum(match == 1)
+        fp = np.cumsum(match == 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = tp / (fp + tp)          # nan where fp+tp == 0
+        if cnt <= 0:                       # rec is None -> AP = nan
+            ap[l] = float("nan")
+            continue
+        rec = tp / cnt
+        if use_07_metric:
+            # 11-point interpolation (:189-196)
+            a = 0.0
+            for t in np.arange(0.0, 1.1, 0.1):
+                keep = rec >= t
+                p = np.max(np.nan_to_num(prec)[keep]) if keep.any() else 0.0
+                a += p / 11.0
+            ap[l] = float(a)
+        else:
+            # area under the monotone precision envelope (:197-210)
+            mpre = np.concatenate([[0.0], np.nan_to_num(prec), [0.0]])
+            mrec = np.concatenate([[0.0], rec, [1.0]])
+            mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+            step = np.where(mrec[1:] != mrec[:-1])[0]
+            ap[l] = float(np.sum((mrec[step + 1] - mrec[step])
+                                 * mpre[step + 1]))
+    vals = np.asarray(list(ap.values()), np.float64)
+    return {"ap": ap, "map": float(np.nanmean(vals)) if len(vals)
+            else float("nan")}
+
+
+# ---------------------------------------------------------------------------
+# Classic LVIS AP (per-image cap + federated filtering + r/c/f groups)
+# ---------------------------------------------------------------------------
+def lvis_classic_eval(predictions: Sequence[Dict],
+                      ground_truths: Sequence[Dict],
+                      cat_frequencies: Dict[int, str],
+                      max_dets: int = 300) -> Dict[str, float]:
+    """The reference's standard LVISEval (lvis/lvis_eval.py:156-588):
+    per-image detection cap (LVISResults.limit_dets_per_image, :137-149),
+    federated-dataset filtering (:222-241: a detection of category c in
+    image i only counts if c is in i's GT categories or its
+    neg_category_ids; unmatched detections of not_exhaustive categories
+    are ignored, :390-397), COCO-style greedy matching at IoU
+    0.5:0.05:0.95, 101-point precision, and rare/common/frequent AP
+    splits (:529-585).
+
+    predictions: per image {"boxes" (N,4) xyxy, "scores", "labels"}
+    ground_truths: per image {"boxes" xyxy, "labels",
+        optional "areas", optional "ignore" (N,) ,
+        "neg_category_ids": iterable, "not_exhaustive_category_ids": iterable}
+    cat_frequencies: {category_id: "r"|"c"|"f"} — the full category
+        vocabulary (absent categories still shape the AP means).
+    Returns AP, AP50, AP75, APs/m/l, APr/c/f, AR@max_dets, ARs/m/l.
+    """
+    iou_thrs = np.linspace(0.5, 0.95, 10, endpoint=True)
+    rec_thrs = np.linspace(0.0, 1.0, 101, endpoint=True)
+    area_rngs = [(0.0, 1e10), (0.0, 32.0 ** 2),
+                 (32.0 ** 2, 96.0 ** 2), (96.0 ** 2, 1e10)]
+    area_lbls = ["all", "small", "medium", "large"]
+    cat_ids = sorted(cat_frequencies)
+    T, R, A = len(iou_thrs), len(rec_thrs), len(area_rngs)
+    n_img = len(predictions)
+    assert len(ground_truths) == n_img
+
+    # --- per-image preparation: cap + federated filter ------------------
+    # dts[img][cat] = (boxes, scores) sorted by -score (stable);
+    # gts[img][cat] = (boxes, areas, ignore)
+    dts: List[Dict[int, Tuple]] = []
+    gts: List[Dict[int, Tuple]] = []
+    nel: List[set] = []
+    for pred, gt in zip(predictions, ground_truths):
+        p_box = np.asarray(pred.get("boxes", np.zeros((0, 4))), np.float64)
+        p_scr = np.asarray(pred.get("scores", np.zeros((0,))), np.float64)
+        p_lbl = np.asarray(pred.get("labels", np.zeros((0,))), np.int64)
+        if len(p_scr) > max_dets:          # :137-149
+            keep = np.argsort(-p_scr, kind="stable")[:max_dets]
+            p_box, p_scr, p_lbl = p_box[keep], p_scr[keep], p_lbl[keep]
+        g_box = np.asarray(gt.get("boxes", np.zeros((0, 4))), np.float64)
+        g_lbl = np.asarray(gt.get("labels", np.zeros((0,))), np.int64)
+        g_area = np.asarray(gt.get("areas", (
+            np.clip(g_box[:, 2] - g_box[:, 0], 0, None)
+            * np.clip(g_box[:, 3] - g_box[:, 1], 0, None))), np.float64)
+        g_ign = np.asarray(gt.get("ignore", np.zeros(len(g_box))),
+                           np.int64)
+        pos_cats = set(int(c) for c in g_lbl)
+        neg_cats = set(int(c) for c in gt.get("neg_category_ids", ()))
+        nel.append(set(int(c)
+                       for c in gt.get("not_exhaustive_category_ids", ())))
+        d, g = {}, {}
+        for c in cat_ids:
+            sel_g = g_lbl == c
+            if sel_g.any():
+                g[c] = (g_box[sel_g], g_area[sel_g], g_ign[sel_g])
+            if c in pos_cats or c in neg_cats:      # federated keep (:239)
+                sel_d = p_lbl == c
+                if sel_d.any():
+                    order = np.argsort(-p_scr[sel_d], kind="stable")
+                    d[c] = (p_box[sel_d][order], p_scr[sel_d][order])
+        dts.append(d)
+        gts.append(g)
+
+    precision = -np.ones((T, R, len(cat_ids), A))
+    recall = -np.ones((T, len(cat_ids), A))
+
+    for ci, c in enumerate(cat_ids):
+        # evaluate_img per (area, img), then accumulate (:319-525)
+        for ai, (a_lo, a_hi) in enumerate(area_rngs):
+            all_scores, all_m, all_ig = [], [], []
+            num_gt = 0
+            for i in range(n_img):
+                has_d = c in dts[i]
+                has_g = c in gts[i]
+                if not has_d and not has_g:
+                    continue
+                db, ds = dts[i].get(c, (np.zeros((0, 4)), np.zeros((0,))))
+                gb, ga, gi0 = gts[i].get(
+                    c, (np.zeros((0, 4)), np.zeros((0,)),
+                        np.zeros((0,), np.int64)))
+                g_ig = ((gi0 != 0) | (ga < a_lo) | (ga > a_hi)).astype(int)
+                gt_order = np.argsort(g_ig, kind="stable")  # ignore last
+                gb, g_ig = gb[gt_order], g_ig[gt_order]
+                nD, nG = len(db), len(gb)
+                ious = _iou_matrix(db, gb)
+                dt_m = np.zeros((T, nD), bool)
+                dt_ig = np.zeros((T, nD), bool)
+                gt_m = np.zeros((T, nG), bool)
+                for ti, thr in enumerate(iou_thrs):
+                    if nG == 0:
+                        break
+                    for di in range(nD):
+                        best = min(thr, 1.0 - 1e-10)
+                        m = -1
+                        for gix in range(nG):
+                            if gt_m[ti, gix]:
+                                continue
+                            # matched a real gt already and the rest are
+                            # ignore-gt: stop (:367-369)
+                            if m > -1 and g_ig[m] == 0 and g_ig[gix] == 1:
+                                break
+                            if ious[di, gix] < best:
+                                continue
+                            best = ious[di, gix]
+                            m = gix
+                        if m == -1:
+                            continue
+                        dt_ig[ti, di] = bool(g_ig[m])
+                        dt_m[ti, di] = True
+                        gt_m[ti, m] = True
+                # unmatched dt ignored when out of area range or in a
+                # not-exhaustively-annotated category (:390-397)
+                d_area = (np.clip(db[:, 2] - db[:, 0], 0, None)
+                          * np.clip(db[:, 3] - db[:, 1], 0, None))
+                d_mask = (d_area < a_lo) | (d_area > a_hi) | (c in nel[i])
+                dt_ig |= (~dt_m) & d_mask[None, :]
+                all_scores.append(ds)
+                all_m.append(dt_m)
+                all_ig.append(dt_ig)
+                num_gt += int((g_ig == 0).sum())
+            if num_gt == 0:
+                continue
+            scores = (np.concatenate(all_scores) if all_scores
+                      else np.zeros((0,)))
+            order = np.argsort(-scores, kind="stable")
+            dm = (np.concatenate(all_m, axis=1)[:, order] if all_m
+                  else np.zeros((T, 0), bool))
+            dig = (np.concatenate(all_ig, axis=1)[:, order] if all_ig
+                   else np.zeros((T, 0), bool))
+            tps = dm & ~dig
+            fps = ~dm & ~dig
+            tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+            fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+            for ti in range(T):
+                tp, fp = tp_sum[ti], fp_sum[ti]
+                rc = tp / num_gt
+                recall[ti, ci, ai] = rc[-1] if len(tp) else 0.0
+                pr = tp / (fp + tp + np.spacing(1))
+                # monotone envelope from the right (:497-500)
+                for k in range(len(pr) - 1, 0, -1):
+                    if pr[k] > pr[k - 1]:
+                        pr[k - 1] = pr[k]
+                inds = np.searchsorted(rc, rec_thrs, side="left")
+                pr_at = np.zeros(R)
+                for ri, pi in enumerate(inds):
+                    # the reference's bare `pr[pr_idx]` raises IndexError
+                    # past the end and the surrounding try/except leaves
+                    # the remaining entries 0.0 (:508-514); inds is
+                    # nondecreasing so a break is exactly equivalent
+                    if pi >= len(pr):
+                        break
+                    pr_at[ri] = pr[pi]
+                precision[ti, :, ci, ai] = pr_at
+
+    freq_idx = {g: [i for i, c in enumerate(cat_ids)
+                    if cat_frequencies[c] == g] for g in ("r", "c", "f")}
+
+    def _mean(s):
+        v = s[s > -1]
+        return float(v.mean()) if len(v) else -1.0
+
+    def _ap(thr=None, area="all", freq=None):
+        s = precision
+        if thr is not None:
+            s = s[np.where(np.isclose(iou_thrs, thr))[0]]
+        s = s[:, :, freq_idx[freq], :] if freq else s
+        return _mean(s[..., area_lbls.index(area)])
+
+    def _ar(area="all"):
+        return _mean(recall[..., area_lbls.index(area)])
+
+    out = {"AP": _ap(), "AP50": _ap(0.5), "AP75": _ap(0.75),
+           "APs": _ap(area="small"), "APm": _ap(area="medium"),
+           "APl": _ap(area="large"),
+           "APr": _ap(freq="r"), "APc": _ap(freq="c"), "APf": _ap(freq="f"),
+           f"AR@{max_dets}": _ar()}
+    for a in ("small", "medium", "large"):
+        out[f"AR{a[0]}@{max_dets}"] = _ar(a)
+    return out

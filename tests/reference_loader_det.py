@@ -105,6 +105,28 @@ def _install_pycocotools_stub():
     mask.encode = mask.decode = mask.area = mask.toBbox = \
         lambda *a, **k: None
     mask.frPyObjects = lambda *a, **k: None
+
+    def _box_iou(dts, gts, iscrowd):
+        """pycocotools maskUtils.iou for the bbox path only: xywh box
+        lists, iou = inter / (union or det-area when iscrowd)."""
+        import numpy as np
+        d = np.asarray(dts, np.float64).reshape(-1, 4)
+        g = np.asarray(gts, np.float64).reshape(-1, 4)
+        crowd = np.asarray(list(iscrowd), bool).reshape(1, -1) \
+            if len(gts) else np.zeros((1, 0), bool)
+        dx2, dy2 = d[:, 0] + d[:, 2], d[:, 1] + d[:, 3]
+        gx2, gy2 = g[:, 0] + g[:, 2], g[:, 1] + g[:, 3]
+        iw = np.clip(np.minimum(dx2[:, None], gx2[None, :])
+                     - np.maximum(d[:, None, 0], g[None, :, 0]), 0, None)
+        ih = np.clip(np.minimum(dy2[:, None], gy2[None, :])
+                     - np.maximum(d[:, None, 1], g[None, :, 1]), 0, None)
+        inter = iw * ih
+        da = (d[:, 2] * d[:, 3])[:, None]
+        ga = (g[:, 2] * g[:, 3])[None, :]
+        denom = np.where(crowd, da, da + ga - inter)
+        return np.where(denom > 0, inter / np.maximum(denom, 1e-12), 0.0)
+
+    mask.iou = _box_iou
     pkg.coco = coco
     pkg.cocoeval = cocoeval
     pkg.mask = mask
@@ -286,6 +308,23 @@ def _install_torchvision_stub():
         sys.modules[name] = mod
 
 
+def _install_torch_six_stub():
+    """torch._six was removed from modern torch; lvis_eval.py imports it
+    at module top but never uses it (lvis/lvis_eval.py:12)."""
+    if "torch._six" in sys.modules:
+        return
+    import torch
+    six = types.ModuleType("torch._six")
+    six.string_classes = (str,)
+    six.int_classes = (int,)
+    six.PY37 = sys.version_info >= (3, 7)
+    six.PY3 = True
+    six.__spec__ = importlib.util.spec_from_loader("torch._six",
+                                                   loader=None)
+    torch._six = six
+    sys.modules["torch._six"] = six
+
+
 _ready = False
 
 
@@ -303,6 +342,7 @@ def setup_fine_reference():
     if REF_FINE not in sys.path:
         sys.path.insert(0, REF_FINE)
     _install_C_stub()
+    _install_torch_six_stub()
     _install_torchvision_stub()
     _install_imp_stub()
     _install_prettytable_stub()
