@@ -50,7 +50,8 @@ class ConvTower(nn.Module):
                         name=f"conv{i}")(x)
             if self.use_gn:
                 x = nn.GroupNorm(num_groups=math.gcd(32, self.channels),
-                                 dtype=self.dtype, name=f"gn{i}")(x)
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 

@@ -77,20 +77,47 @@ class Conv3x3Norm(nn.Module):
                 stride=self.stride)
             x = jax.vmap(fn)(x, offsets, mask)
         else:
+            # torch padding=1 semantics: symmetric (1,1) even at stride 2
+            # (flax "SAME" would pad (0,1) there and shift the windows)
             x = nn.Conv(self.out_channels, (3, 3),
-                        strides=(self.stride, self.stride), padding="SAME",
+                        strides=(self.stride, self.stride),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype,
                         kernel_init=nn.initializers.normal(0.01),
                         name="conv")(x)
+        # torch nn.GroupNorm eps default (1e-5; flax defaults to 1e-6)
         x = nn.GroupNorm(num_groups=min(self.num_groups,
                                         self.out_channels),
-                         dtype=self.dtype, name="gn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="gn")(x)
         return x
 
 
+def _upsample_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) interpolation matrix for torch F.upsample_bilinear
+    semantics (align_corners=True): src_i = i * (n_in-1)/(n_out-1)."""
+    import numpy as np
+    if n_in == 1 or n_out == 1:
+        src = np.zeros(n_out)
+    else:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    t = src - i0
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), i0] += 1.0 - t
+    m[np.arange(n_out), i1] += t
+    return jnp.asarray(m)
+
+
 def _resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
-    B, _, _, C = x.shape
-    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+    """Bilinear upsample with the reference's align_corners=True
+    convention (vldyhead.py:228 F.upsample_bilinear) as two dense
+    matmuls — MXU-friendly, and exact where jax.image.resize's
+    half-pixel convention diverges."""
+    mh = _upsample_matrix(x.shape[1], h).astype(x.dtype)
+    mw = _upsample_matrix(x.shape[2], w).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
 class DyConv(nn.Module):

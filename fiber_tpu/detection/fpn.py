@@ -48,11 +48,16 @@ class FPN(nn.Module):
             for i, l in enumerate(laterals)
         ]
         if self.use_p6p7:
+            # torch Conv2d(3, stride 2, padding 1) pads (1, 1); flax
+            # "SAME" at stride 2 pads (0, 1) — different window
+            # alignment, so spell the torch padding out
             src = outs[-1] if self.p6p7_from_p5 else feats[-1]
-            p6 = nn.Conv(C, (3, 3), strides=(2, 2), padding="SAME",
+            p6 = nn.Conv(C, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
                          dtype=self.dtype, name="p6")(src)
             p7_in = nn.relu(p6) if self.use_relu_before_p7 else p6
-            p7 = nn.Conv(C, (3, 3), strides=(2, 2), padding="SAME",
+            p7 = nn.Conv(C, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
                          dtype=self.dtype, name="p7")(p7_in)
             outs = outs + [p6, p7]
         return outs

@@ -114,11 +114,15 @@ class FusionSwinFPN(nn.Module):
             self.cross_modal_image_transform3 = nn.Dense(
                 self.lang_dim, dtype=self.dtype,
                 name="cross_modal_image_transform3")
-        # per-stage output norms (ref swint `norm{i}` taps)
-        self.out_norms = [
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm_{s}")
-            for s in range(len(self.depths))
-        ]
+        # per-stage output norms for the FPN taps (ref swint `norm{i}`;
+        # OUT_FEATURES covers strides 8/16/32 only — the reference builds
+        # no norm0 and the FPN's in_channels_list leads with 0, skipping
+        # the stride-4 level, backbone/__init__.py + fpn.py:44-45)
+        self.out_norms = {
+            s: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name=f"out_norm_{s}")
+            for s in range(1, len(self.depths))
+        }
         self.text = RobertaEncoderModel(
             vocab_size=self.vocab_size, hidden_size=self.lang_dim,
             num_layers=self.num_text_layers, num_heads=self.num_text_heads,
@@ -157,12 +161,14 @@ class FusionSwinFPN(nn.Module):
                                        deterministic=deterministic)
 
         outs = []
-        # stages 1-2 unfused
+        # stages 1-2 unfused; the stride-4 stage-1 output feeds no FPN
+        # level (see out_norms above), so it gets no norm tap
         for s in range(2):
             stage = self.stages[s]
             for blk in stage.blocks:
                 x = blk(x, deterministic=deterministic)
-            outs.append(self.out_norms[s](x))
+            if s >= 1:
+                outs.append(self.out_norms[s](x))
             x = stage.downsample(x)
 
         # stage 3: plain blocks then fused interleave (v1: i2t-only —
@@ -215,6 +221,6 @@ class FusionSwinFPN(nn.Module):
 
         lang_dict = make_lang_dict(text, attention_mask)
 
-        # FPN over strides 8/16/32 taps + P6/P7
-        feats = self.fpn(outs[1:])
+        # FPN over the stride-8/16/32 taps + P6/P7
+        feats = self.fpn(outs)
         return feats, lang_dict

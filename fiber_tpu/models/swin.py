@@ -241,8 +241,12 @@ class SwinBlock(nn.Module):
         H, W = self.input_resolution
         window, shift = self.window_size, self.shift_size
         if self.pad_to_window:
-            if min(H, W) <= window and max(H, W) <= window:
-                shift = 0  # single padded window: shift is a no-op
+            # Detection flavor NEVER clamps: even when the padded map is a
+            # single window, the reference rolls and applies the shifted
+            # region mask (fusion_swin_transformer_v2.py:304-332 pads then
+            # shifts unconditionally) — with padding or a region mask the
+            # shift is NOT a no-op, so parity requires keeping it.
+            pass
         else:
             # Coarse flavor: window larger than the map -> one global
             # window, no shift (ref: swin_transformer.py:304-307).

@@ -180,11 +180,11 @@ class SwinBlockVL(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        H, W = self.input_resolution
-        shift = self.shift_size
-        if max(H, W) <= self.window_size:
-            shift = 0  # single padded window: shift is a no-op
-        self.window, self.shift = self.window_size, shift
+        # The reference swint_vl/swint_v2_vl never clamp the shift: they
+        # pad to window multiples and roll unconditionally
+        # (swint_v2_vl.py:338-370) — with padding or the shifted region
+        # mask the shift is NOT a no-op, so parity requires keeping it.
+        self.window, self.shift = self.window_size, self.shift_size
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm1_text = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn = JointWindowAttention(

@@ -346,6 +346,186 @@ def convert_fiber_state_dict(state_dict: Dict[str, np.ndarray],
     return params, unmapped
 
 
+_DET_DYCONV_NAMES = {"0": "conv_up", "1": "conv_same", "2": "conv_down"}
+
+
+def convert_detection_state_dict(state_dict: Dict[str, np.ndarray],
+                                 use_deform: bool = True,
+                                 strict: bool = False
+                                 ) -> Tuple[Dict, list]:
+    """Convert a reference fine-grained `GeneralizedVLRCNN` state_dict
+    (fusion-in-backbone config: SWINT-FPN-RETINANET + roberta-fused-v2 +
+    VLDyHead) into a `GroundingDetector` flax param tree.
+
+    Reference module layout (key prefixes):
+      fusion_backbone.backbone.body.*   Swin body, same block field names
+          as the coarse stack (fusion_swin_transformer_v2.py:76-800) plus
+          per-stage output-norm taps ``norm{i}`` -> our ``out_norm_{i}``
+      fusion_backbone.backbone.fpn.fpn_inner{i}/fpn_layer{i}/top_blocks.p6/p7
+          (fpn.py:35-65,150-156) -> lateral_{i-1}/output_{i-1}/p6/p7
+      fusion_backbone.language_backbone.body.model.*  HF RoBERTa fork
+          (roberta_fused_model_v2.py) -> backbone.language_backbone
+      rpn.head.dyhead_tower.{i}.DyConv.{j}  j: 0=conv_up 1=conv_same
+          2=conv_down (vldyhead.py:169-172 append order; forward use
+          :221-229), AttnConv.1 (1x1 conv) -> attn_conv Dense,
+          relu.fc.{0,2} -> dyrelu.fc1/fc2 (layers/dyrelu.py:75-77),
+          offset -> offset_conv
+      rpn.head.{cls_logits,bbox_pred,centerness}  1x1 convs
+      rpn.head.{dot_product_projection_text,log_scale,bias_lang,bias0}
+          (vldyhead.py:700-711); scales.{l}.scale -> scales vector (5,)
+
+    `use_deform` selects the destination naming of the tower convs: the
+    deformable Conv3x3Norm stores its kernel at the module level while the
+    plain one nests it under ``conv`` (detection/dyhead.py:69-84).
+
+    Returns (params, unmapped_keys).
+    """
+    backbone: Dict[str, Any] = {}
+    text: Dict[str, Any] = {}
+    fpn: Dict[str, Any] = {}
+    rpn: Dict[str, Any] = {}
+    scales = np.ones(5, np.float32)
+    unmapped = []
+
+    drop_extra = [
+        r"pooler\.", r"position_ids$", r"cls\.predictions",
+        r"\.rpb$",  # v2 log-CPB tables absent in v1-style fusion body
+        # derived constants, regenerated by detector_anchors (pinned by
+        # tests/test_detection_reference_parity.py)
+        r"anchor_generator\.cell_anchors",
+    ]
+
+    def dropped(key: str) -> bool:
+        return _should_drop(key) or any(re.search(p, key)
+                                        for p in drop_extra)
+
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        if dropped(key):
+            continue
+        if key.startswith("fusion_backbone.backbone.body."):
+            k = key[len("fusion_backbone.backbone.body."):]
+            m = re.match(r"norm(\d+)\.(weight|bias)$", k)
+            if m:
+                _map_layernorm(backbone, f"out_norm_{m.group(1)}",
+                               m.group(2), v)
+                continue
+            # window size unchanged -> no RPB re-interp
+            if convert_swin_key(k, v, backbone, 12, 12):
+                continue
+            unmapped.append(key)
+        elif key.startswith("fusion_backbone.backbone.fpn."):
+            k = key[len("fusion_backbone.backbone.fpn."):]
+            # fpn_inner1/fpn_layer1 never exist: in_channels_list leads
+            # with 0 for the skipped stride-4 level (fpn.py:44-45), so
+            # reference index 2 is our level 0 (stride 8)
+            m = re.match(r"fpn_(inner|layer)(\d+)\.(weight|bias)$", k)
+            if m:
+                kind, idx, wb = m.groups()
+                name = ("lateral" if kind == "inner" else "output")
+                dst = f"{name}_{int(idx) - 2}"
+                _set(fpn, f"{dst}/{'kernel' if wb == 'weight' else 'bias'}",
+                     _conv(v) if wb == "weight" else v)
+                continue
+            m = re.match(r"top_blocks\.(p6|p7)\.(weight|bias)$", k)
+            if m:
+                mod, wb = m.groups()
+                _set(fpn, f"{mod}/{'kernel' if wb == 'weight' else 'bias'}",
+                     _conv(v) if wb == "weight" else v)
+                continue
+            unmapped.append(key)
+        elif key.startswith("fusion_backbone.language_backbone.body.model."):
+            k = key[len("fusion_backbone.language_backbone.body.model."):]
+            if not convert_roberta_key(k, v, text):
+                unmapped.append(key)
+        elif key == "fusion_backbone.tunable_linear.weight":
+            backbone["tunable_linear"] = v
+        elif key.startswith("rpn.head."):
+            k = key[len("rpn.head."):]
+            m = re.match(r"dyhead_tower\.(\d+)\.(.*)", k)
+            if m:
+                i, rest = m.groups()
+                base = f"dyconv_{i}"
+                mm = re.match(r"DyConv\.(\d)\.conv\.(weight|bias)$", rest)
+                if mm:
+                    j, wb = mm.groups()
+                    mid = _DET_DYCONV_NAMES[j] + ("" if use_deform
+                                                  else "/conv")
+                    _set(rpn, f"{base}/{mid}/"
+                              f"{'kernel' if wb == 'weight' else 'bias'}",
+                         _conv(v) if wb == "weight" else v)
+                    continue
+                mm = re.match(r"DyConv\.(\d)\.bn\.(weight|bias)$", rest)
+                if mm:
+                    j, wb = mm.groups()
+                    _map_layernorm(
+                        rpn, f"{base}/{_DET_DYCONV_NAMES[j]}/gn", wb, v)
+                    continue
+                mm = re.match(r"AttnConv\.1\.(weight|bias)$", rest)
+                if mm:
+                    wb = mm.group(1)
+                    if wb == "weight":   # (1, C, 1, 1) conv -> (C, 1) Dense
+                        _set(rpn, f"{base}/attn_conv/kernel",
+                             _t(v.reshape(v.shape[0], v.shape[1])))
+                    else:
+                        _set(rpn, f"{base}/attn_conv/bias", v)
+                    continue
+                mm = re.match(r"relu\.fc\.(0|2)\.(weight|bias)$", rest)
+                if mm:
+                    j, wb = mm.groups()
+                    fc = "fc1" if j == "0" else "fc2"
+                    _set(rpn, f"{base}/dyrelu/{fc}/"
+                              f"{'kernel' if wb == 'weight' else 'bias'}",
+                         _t(v) if wb == "weight" else v)
+                    continue
+                mm = re.match(r"offset\.(weight|bias)$", rest)
+                if mm:
+                    wb = mm.group(1)
+                    _set(rpn, f"{base}/offset_conv/"
+                              f"{'kernel' if wb == 'weight' else 'bias'}",
+                         _conv(v) if wb == "weight" else v)
+                    continue
+                unmapped.append(key)
+                continue
+            m = re.match(r"(cls_logits|bbox_pred|centerness|token_logits|"
+                         r"contrastive_align_projection_image)"
+                         r"\.(weight|bias)$", k)
+            if m:
+                mod, wb = m.groups()
+                _set(rpn, f"{mod}/{'kernel' if wb == 'weight' else 'bias'}",
+                     _conv(v) if wb == "weight" else v)
+                continue
+            m = re.match(r"(dot_product_projection_text|"
+                         r"contrastive_align_projection_text)"
+                         r"\.(weight|bias)$", k)
+            if m:
+                mod, wb = m.groups()
+                _set(rpn, f"{mod}/{'kernel' if wb == 'weight' else 'bias'}",
+                     _t(v) if wb == "weight" else v)
+                continue
+            if k in ("log_scale", "bias0"):
+                rpn[k] = v.reshape(1)
+                continue
+            if k == "bias_lang":
+                rpn[k] = v
+                continue
+            m = re.match(r"scales\.(\d)\.scale$", k)
+            if m:
+                scales[int(m.group(1))] = float(v)
+                continue
+            unmapped.append(key)
+        else:
+            unmapped.append(key)
+
+    rpn["scales"] = scales
+    backbone["language_backbone"] = text
+    backbone["fpn"] = fpn
+    params = {"backbone": backbone, "rpn": rpn}
+    if strict and unmapped:
+        raise ValueError(f"unmapped keys: {unmapped[:20]}...")
+    return params, unmapped
+
+
 def load_fiber_checkpoint(path: str, resolution_before: int = 384,
                           resolution_after: int = 384):
     """torch.load a released FIBER .ckpt and convert."""

@@ -355,3 +355,120 @@ def load_default_cfg():
     setup_fine_reference()
     from maskrcnn_benchmark.config import cfg
     return cfg.clone()
+
+
+def build_reference_vlrcnn(tiny: bool = True, max_query_len: int = 24,
+                           seed: int = 0):
+    """Build the reference's assembled GeneralizedVLRCNN in-process:
+    SWINT-FPN-RETINANET (fusion v2 body) + roberta-fused-v2 + VLDyHead
+    (generalized_vl_rcnn.py:64-240).
+
+    The fusion-v2 interleave is HARDCODED in the reference (stage-3
+    blocks >= 14 get dim_text=768, fusion_swin_transformer_v2.py:458;
+    stage-4 blocks 0/1 fused explicitly :906-918; 6 pre-text layers
+    :850), so even the tiny variant keeps depths (2,2,18,2), full
+    Swin-B widths and lang_dim 768, shrinking only the resolution and
+    the dyhead tower.  USE_DFCONV stays
+    False: the reference deformable conv binds CUDA-only kernels
+    (layers/deform_conv.py) — deform parity is pinned separately at
+    component level (tests/test_deform_conv.py).
+
+    Returns (cfg, model.eval()).
+    """
+    setup_fine_reference()
+    import torch
+    cfg = load_default_cfg()
+    cfg.defrost()
+    m = cfg.MODEL
+    m.META_ARCHITECTURE = "GeneralizedVLRCNN"
+    m.RPN_ONLY = True
+    m.RPN_ARCHITECTURE = "VLDYHEAD"
+    m.SWINT.VERSION = "fusion"
+    m.SWINT.DEPTHS = (2, 2, 18, 2)
+    m.SWINT.WINDOW_SIZE = 12
+    m.SWINT.DROP_PATH_RATE = 0.0
+    m.BACKBONE.FUSION_VERSION = "v2"
+    m.BACKBONE.CONV_BODY = "SWINT-FPN-RETINANET"
+    m.BACKBONE.USE_CHECKPOINT = False
+    m.LANGUAGE_BACKBONE.MODEL_TYPE = "roberta-fused-v2"
+    m.LANGUAGE_BACKBONE.TOKENIZER_TYPE = "roberta-base"
+    m.LANGUAGE_BACKBONE.LANG_DIM = 768
+    m.LANGUAGE_BACKBONE.MAX_QUERY_LEN = max_query_len
+    m.LANGUAGE_BACKBONE.USE_CHECKPOINT = False
+    m.RPN.USE_FPN = True
+    m.RPN.ANCHOR_SIZES = (64, 128, 256, 512, 1024)
+    m.RPN.ANCHOR_STRIDE = (8, 16, 32, 64, 128)
+    m.RPN.ASPECT_RATIOS = (1.0,)
+    m.RPN.SCALES_PER_OCTAVE = 1
+    m.DYHEAD.NUM_CLASSES = 2          # binary objectness (grounding path)
+    m.DYHEAD.NUM_CONVS = 6
+    m.DYHEAD.USE_GN = True
+    m.DYHEAD.USE_DYRELU = True
+    m.DYHEAD.USE_DFCONV = False       # CUDA-only in the reference
+    m.DYHEAD.USE_DYFUSE = True
+    m.DYHEAD.TOPK = 9
+    m.DYHEAD.SCORE_AGG = "MEAN"
+    m.DYHEAD.LOG_SCALE = 0.0
+    m.DYHEAD.USE_CHECKPOINT = False
+    fc = m.DYHEAD.FUSE_CONFIG
+    fc.EARLY_FUSE_ON = False
+    fc.TYPE = "NONE"
+    fc.USE_DOT_PRODUCT_TOKEN_LOSS = True
+    fc.USE_LAYER_SCALE = True
+    fc.CLAMP_MIN_FOR_UNDERFLOW = True
+    fc.CLAMP_MAX_FOR_OVERFLOW = True
+    fc.CLAMP_DOT_PRODUCT = True
+    # Swin-B widths are NOT shrinkable: the fused roberta hardcodes the
+    # t2i cross K/V in-dims to 512/1024 (roberta_fused_model_v2.py:
+    # 193-202), i.e. the stage-3/4 dims of embed_dim 128.  The tiny
+    # variant shrinks only the resolution and the dyhead.
+    m.SWINT.EMBED_DIM = 128
+    m.SWINT.NUM_HEADS = (4, 8, 16, 32)
+    m.SWINT.OUT_CHANNELS = (128, 256, 512, 1024)
+    if tiny:
+        m.BACKBONE.OUT_CHANNELS = 64
+        m.DYHEAD.CHANNELS = 64
+        m.DYHEAD.NUM_CONVS = 2
+    else:
+        m.BACKBONE.OUT_CHANNELS = 256
+        m.DYHEAD.CHANNELS = 256
+    cfg.freeze()
+
+    # offline stand-ins: from_pretrained would hit the network (zero
+    # egress); construct the configs locally instead
+    from transformers.models.roberta.configuration_roberta import (
+        RobertaConfig)
+    from maskrcnn_benchmark.modeling.language_backbone import (
+        roberta_fused_model_v2 as rfm)
+    from maskrcnn_benchmark.modeling.detector import (
+        generalized_vl_rcnn as gvl)
+
+    def local_roberta_config(*a, **kw):
+        return RobertaConfig(
+            vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            max_position_embeddings=514, type_vocab_size=1,
+            pad_token_id=1, bos_token_id=0, eos_token_id=2,
+            layer_norm_eps=1e-5, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0)
+
+    rfm.RobertaConfig.from_pretrained = classmethod(
+        lambda cls, name, **kw: local_roberta_config())
+    rfm.RobertaModel.from_pretrained = classmethod(
+        lambda cls, name, add_pooling_layer=True, config=None, **kw:
+        cls(config, add_pooling_layer=add_pooling_layer))
+
+    class _FakeTok:
+        mask_token_id = 50264
+        pad_token_id = 1
+
+        def get_vocab(self):
+            return {"<s>": 0, "<pad>": 1}
+
+    gvl.AutoTokenizer.from_pretrained = staticmethod(
+        lambda *a, **kw: _FakeTok())
+
+    torch.manual_seed(seed)
+    model = gvl.GeneralizedVLRCNN(cfg)
+    model.eval()
+    return cfg, model
