@@ -218,38 +218,36 @@ def window_attention_packed_xla(qkv: jax.Array, bias: jax.Array,
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
-                   scale: float, num_heads: int, hd: int):
+                   scale: float, G: int, hd: int):
     """Pallas version of the packed formulation: one grid cell per
-    (window, batch) element; all head groups processed with dense 2D
-    matmuls entirely in VMEM.
+    (head-group, window, batch) element; the group's dense 2D matmuls
+    run entirely in VMEM.
 
-    q/k/v_ref (1, 1, N, C); bias_ref (1, h*N, N) fp32 (leading-folded
-    outside); out_ref (1, 1, N, C)."""
-    _, _, N, C = q_ref.shape
-    G = min(num_heads, max(1, 128 // hd))
-    ng = num_heads // G
-    Cg = G * hd
+    q/k/v_ref (1, 1, N, Cg); bias_ref (1, 1, G*N, N) fp32 (leading-folded
+    outside); out_ref (1, 1, N, Cg).  Gridding over head groups (round 4)
+    bounds the per-program VMEM to one group's logits — the previous
+    all-groups-unrolled body OOMed the 16M scoped VMEM at stage-4 shapes
+    (h=32, ng=8) once the batch grew past 64 (docs/ROUND3_NOTES.md)."""
+    _, _, N, Cg = q_ref.shape
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 2)
     grp = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 0)
     mask = (lane // hd == grp).astype(q_ref.dtype)    # (G, 1, Cg)
 
-    for g in range(ng):
-        sl = slice(g * Cg, (g + 1) * Cg)
-        qg = q_ref[0, 0, :, sl]                       # (N, Cg)
-        kg = k_ref[0, 0, :, sl]
-        vg = v_ref[0, 0, :, sl]
-        qm = (qg[None] * mask).reshape(G * N, Cg)     # block-diagonal
-        logits = jax.lax.dot_general(
-            qm, kg, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (G*N, N)
-        logits = logits * scale + bias_ref[0, g * G * N:(g + 1) * G * N]
-        attn = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
-        z = jax.lax.dot_general(
-            attn, vg, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (G*N, Cg)
-        zg = z.reshape(G, N, Cg) * mask
-        out_ref[0, 0, :, sl] = zg.sum(axis=0).astype(out_ref.dtype)
+    qg = q_ref[0, 0]                                  # (N, Cg)
+    kg = k_ref[0, 0]
+    vg = v_ref[0, 0]
+    qm = (qg[None] * mask).reshape(G * N, Cg)         # block-diagonal
+    logits = jax.lax.dot_general(
+        qm, kg, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (G*N, N)
+    logits = logits * scale + bias_ref[0, 0]
+    attn = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
+    z = jax.lax.dot_general(
+        attn, vg, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (G*N, Cg)
+    zg = z.reshape(G, N, Cg) * mask
+    out_ref[0, 0] = zg.sum(axis=0).astype(out_ref.dtype)
 
 
 def window_attention_packed_pallas(qkv: jax.Array, bias: jax.Array,
@@ -263,17 +261,22 @@ def window_attention_packed_pallas(qkv: jax.Array, bias: jax.Array,
     h = num_heads
     hd = C // h
     scale = hd ** -0.5
+    G = min(h, max(1, 128 // hd))
+    ng = h // G
+    Cg = G * hd
     q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-    bias2 = bias.astype(jnp.float32).reshape(nW, h * N, N)
+    bias2 = bias.astype(jnp.float32).reshape(nW, ng, G * N, N)
 
-    spec = pl.BlockSpec((1, 1, N, C), lambda w, b: (b, w, 0, 0),
+    # grid (ng, nW, B): B innermost so the (possibly multi-MB) bias block
+    # stays resident across the batch sweep
+    spec = pl.BlockSpec((1, 1, N, Cg), lambda g, w, b: (b, w, 0, g),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, scale=scale, num_heads=h,
-                          hd=hd),
-        grid=(nW, B),
+        functools.partial(_packed_kernel, scale=scale, G=G, hd=hd),
+        grid=(ng, nW, B),
         in_specs=[spec, spec, spec,
-                  pl.BlockSpec((1, h * N, N), lambda w, b: (w, 0, 0),
+                  pl.BlockSpec((1, 1, G * N, N),
+                               lambda g, w, b: (w, g, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, nW, N, C), qkv.dtype),

@@ -37,6 +37,21 @@ def test_window_attention_kernel_matches_reference(with_mask, WB):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_packed_kernel_multi_group_matches_reference():
+    """ng > 1 (several head groups per window) exercises the head-group
+    grid dimension added in round 4: hd=64 -> G=2, h=4 -> ng=2."""
+    rng = np.random.default_rng(7)
+    B, nW, N, h, hd = 2, 3, 8, 4, 64
+    C = h * hd
+    qkv = jnp.asarray(rng.standard_normal((B, nW, N, 3 * C)), jnp.float32)
+    bias = _bias(nW, h, N, rng, with_mask=True)
+    ref = wa.window_attention_windows_reference(qkv, bias, h)
+    out = wa.window_attention_packed_pallas(qkv, bias, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    xla = wa.window_attention_packed_xla(qkv, bias, h)
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(ref), atol=1e-5)
+
+
 def test_reference_matches_naive_per_window():
     rng = np.random.default_rng(1)
     B, nW, N, C, h = 1, 2, 4, 8, 2

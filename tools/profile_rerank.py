@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--scan", type=int, default=6)
     ap.add_argument("--skip", default="",
                     help="comma list of labels to skip")
+    ap.add_argument("--tail-batches", default="32,64,128",
+                    help="comma list of fused-tail pair batches")
+    ap.add_argument("--trunk-batches", default="8",
+                    help="comma list of trunk image batches")
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -94,7 +98,7 @@ def main():
               f"(scan wall {t * 1e3:.1f} ms)", flush=True)
 
     # ---- trunk ----
-    for B in (8,):
+    for B in tuple(int(b) for b in args.trunk_batches.split(",")):
         imgs = jnp.asarray(rng.standard_normal((B, S, S, 3)) * 0.5,
                            cfg.compute_dtype)
 
@@ -120,7 +124,7 @@ def main():
     # ---- fused tail ----
     H3 = W3 = S // 16
     C3 = cfg.swin_embed_dim * 4
-    for B in (32, 64, 128):
+    for B in tuple(int(b) for b in args.tail_batches.split(",")):
         trunk = jnp.asarray(rng.standard_normal((B, H3, W3, C3)) * 0.1,
                             cfg.compute_dtype)
         tpre = jnp.asarray(
