@@ -132,6 +132,13 @@ def main():
             diag.update(_detection_bench())
         except Exception as e:  # never fail the headline metric
             diag["det_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Tertiary metric: pretrain step throughput vs its derived baseline
+    # (BASELINE.md "pretrain baseline"; round-4 VERDICT item 4).
+    if on_tpu and os.environ.get("FIBER_BENCH_TRAIN", "1") != "0":
+        try:
+            diag.update(_pretrain_bench())
+        except Exception as e:
+            diag["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(diag), file=sys.stderr)
     print(json.dumps({
         "metric": "itm_rerank_pairs_per_sec_per_chip",
@@ -141,16 +148,27 @@ def main():
     }))
 
 
-def _detection_bench(batch: int = 2, reps: int = 3):
-    """Fusion Swin-B + VLDyHead forward at the reference test resolution
-    (800x1344, 256-token prompt); see tools/bench_det.py for the
-    standalone version and BASELINE.md for the baseline derivation."""
+def _detection_bench(batch: int = 8, reps: int = 6):
+    """Fusion Swin-B + VLDyHead zero-shot eval step at the reference test
+    resolution (800x1344, 256-token prompt, 80-class prompt map).
+
+    The timed region is the FULL eval path the reference pays per image
+    (rpn/inference.py:554-812): forward + grounding->OD conversion + ATSS
+    postprocess + multi-label NMS to top-100 detections.  Timing is
+    pipelined the way a real eval loop runs on TPU — `reps` batches are
+    enqueued back-to-back with a data dependency chained through them and
+    ONE host fetch at the end — so the relay's fixed ~31 ms per-host-call
+    round-trip (BASELINE.md round-2 measurement) is paid once, not per
+    batch; on-device work cannot overlap because each batch consumes the
+    previous result.  See tools/bench_det.py for the standalone version
+    and BASELINE.md for the 4%-MFU baseline derivation."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from fiber_tpu.detection.detector import (DetectorConfig,
-                                              GroundingDetector)
+                                              GroundingDetector,
+                                              detection_inference)
 
     cfg = DetectorConfig(image_size=(800, 1344),
                          compute_dtype=jnp.bfloat16)
@@ -165,30 +183,100 @@ def _detection_bench(batch: int = 2, reps: int = 3):
     msk = jnp.ones((B, L), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, ids,
                                     msk)
+    # 80-class COCO-style prompt map: class c <- tokens (2c+1, 2c+2)
+    agg = np.zeros((80, L), np.float32)
+    for c in range(80):
+        agg[c, 2 * c + 1:2 * c + 3] = 0.5
+    agg = jnp.asarray(agg)
+    sizes = jnp.broadcast_to(jnp.asarray([float(H), float(W)]), (B, 2))
 
     @jax.jit
-    def fwd(v, im, i, m):
-        out = model.apply(v, im, i, m)
-        ho = out["head_out"]
-        return sum(jnp.sum(x.astype(jnp.float32))
-                   for lvl in ho.values() for x in
-                   (lvl if isinstance(lvl, (list, tuple)) else [lvl]))
+    def step(v, im, i, m, sz):
+        dets = detection_inference(model, v, {
+            "images": im, "input_ids": i, "attention_mask": m,
+            "image_sizes": sz}, agg)
+        return (dets.scores.astype(jnp.float32).sum()
+                + dets.boxes.astype(jnp.float32).sum())
 
-    float(fwd(variables, images, ids, msk))  # compile + warm
+    float(step(variables, images, ids, msk, sizes))  # compile + warm
     t0 = time.perf_counter()
-    s = None
+    s = jnp.float32(0.0)
     for r in range(reps):
-        s = fwd(variables, images * (1.0 + r * 1e-6), ids, msk)
-    float(s)
+        # chain: batch r+1's input depends on batch r's detections
+        scale = (1.0 + r * 1e-6 + s * 0.0).astype(images.dtype)
+        s = step(variables, images * scale, ids, msk, sizes)
+    float(s)  # single host fetch = completion barrier for the chain
     det_dt = (time.perf_counter() - t0) / reps
     DET_FLOPS = 1213.3e9
     det_baseline = 312e12 * 0.04 / DET_FLOPS
     return {
         "det_img_per_s_per_chip": round(B / det_dt, 3),
         "det_batch": B,
+        "det_timed_region": "forward+postprocess+nms_top100",
         "det_executed_tf_per_s": round(B * DET_FLOPS / det_dt / 1e12, 2),
         "det_a100_baseline_img_per_s": round(det_baseline, 2),
         "det_vs_baseline": round(B / det_dt / det_baseline, 3),
+    }
+
+
+def _pretrain_bench(batch: int = 8, reps: int = 3):
+    """FIBER-Base pretrain step (mlm + itc + hard-neg itm, the reference's
+    task_pretrain_mlm_itm_itc composition, ref config.py:101-107) at
+    micro-batch 8 on one chip via the split three-dispatch step
+    (train/trainer.py:250-277 — the monolithic program crashes the
+    relay's compile helper at B=8, docs/ROUND3_NOTES.md).
+
+    Steps are chained through the TrainState (each step consumes the
+    previous state) with ONE host fetch at the end, so the relay's fixed
+    per-host-call cost is paid per dispatch (3/step — unavoidable in the
+    split step) but never per-fetch.  See BASELINE.md "pretrain
+    baseline" for the 12%-MFU A100 derivation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fiber_tpu.config import FiberConfig
+    from fiber_tpu.train.trainer import CoarseTrainer
+
+    cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
+                           swin_drop_path_rate=0.0,
+                           loss_names=("mlm", "itc", "itm"))
+    trainer = CoarseTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    B = batch
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal(
+        (B, cfg.image_size, cfg.image_size, 3)) * 0.5, cfg.compute_dtype)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size,
+                                   (B, cfg.max_text_len)), jnp.int32)
+    msk = jnp.ones((B, cfg.max_text_len), jnp.int32)
+    labels = jnp.full_like(ids, -100).at[:, 2].set(7)
+    batch_d = {"image": img, "text_ids": ids, "text_masks": msk,
+               "text_ids_mlm": ids, "text_labels_mlm": labels}
+
+    state, metrics = trainer.train_step_split(state, batch_d,
+                                              jax.random.PRNGKey(1))
+    float(metrics["total_loss"])        # compile + warm, host barrier
+    t0 = time.perf_counter()
+    for r in range(reps):
+        state, metrics = trainer.train_step_split(
+            state, batch_d, jax.random.PRNGKey(2 + r))
+    loss = float(metrics["total_loss"])  # single fetch ends the chain
+    dt = (time.perf_counter() - t0) / reps
+
+    # reference per-example train FLOPs (fwd components x3 for fwd+bwd):
+    # mlm 109.1 + itc (trunk 69.1 + text 3.6) + hard-neg itm 3x109.1
+    TRAIN_FLOPS = 3.0 * (109.09e9 + 69.11e9 + 3.57e9 + 3 * 109.09e9)
+    train_baseline = 312e12 * 0.12 / TRAIN_FLOPS
+    ex_per_s = B / dt
+    return {
+        "pretrain_ex_per_s_per_chip": round(ex_per_s, 2),
+        "pretrain_micro_batch": B,
+        "pretrain_step_ms": round(dt * 1e3, 1),
+        "pretrain_loss_finite": bool(np.isfinite(loss)),
+        "pretrain_a100_baseline_ex_per_s": round(train_baseline, 2),
+        "pretrain_vs_baseline": round(ex_per_s / train_baseline, 3),
     }
 
 

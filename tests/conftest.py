@@ -31,6 +31,29 @@ import pytest  # noqa: E402
 
 from fiber_tpu.config import FiberConfig  # noqa: E402
 
+# Two-tier suite (SURVEY.md §4): the default tier must finish in < 5 min
+# on a 1-core host; everything that executes reference torch modules or
+# trains for multiple minutes is `slow`.  Run all: `pytest tests/`;
+# fast tier only: `pytest -m "not slow" tests/`.
+_SLOW_MODULES = {
+    # reference-executing parity suites (import /root/reference + torch)
+    "test_reference_parity", "test_reference_parity_fulldim",
+    "test_detection_reference_parity", "test_detection_parity_fulldim",
+    "test_eval_reference_parity", "test_voc_lvis_parity",
+    "test_contrastive_parity", "test_detection_mlm", "test_vlfuse",
+    "test_swin_vl_parity",
+    # multi-minute integration / training loops
+    "test_quality_loop", "test_detection_trainer", "test_trainer",
+    "test_multihost", "test_finetune", "test_retrieval_caption",
+    "test_fusion_versions", "test_scst", "test_tp",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def tiny_cfg():
