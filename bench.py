@@ -27,18 +27,24 @@ Stderr also reports the *executed* FLOP rate (TF/s) over the FLOPs this
 pipeline actually runs (trunk once per image + prefix once per text +
 tail per pair), so hardware efficiency is not conflated with the
 algorithmic reuse win.
+
+Process structure (round 5): each bench section runs in its OWN
+subprocess, launched sequentially (the tunneled TPU admits one process
+at a time).  Round 4's monolithic run showed why: the detection section
+crashed the TPU worker and the pretrain section then saw a dead chip,
+so one failure poisoned every later metric.  The parent process never
+touches the TPU; it merges the per-section JSON and prints the headline
+line.  Run a single section directly with `python bench.py --section
+rerank|det|train|det_train`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 FLOPS_PER_PAIR = 109.09e9     # XLA cost analysis, see module docstring
 A100_PEAK = 312e12
@@ -46,8 +52,67 @@ A100_ASSUMED_MFU = 0.10
 A100_BASELINE_PAIRS = A100_PEAK * A100_ASSUMED_MFU / FLOPS_PER_PAIR
 V5E_PEAK = 197e12
 
+SECTION_TIMEOUT_S = int(os.environ.get("FIBER_BENCH_SECTION_TIMEOUT", 1500))
+
+
+def _run_section(name: str):
+    """Run one bench section in a fresh subprocess; return its dict.
+
+    The subprocess prints exactly one JSON object on its LAST stdout
+    line.  Any crash (TPU worker fault, OOM, timeout) is contained here
+    and reported as {name}_error without touching later sections."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=SECTION_TIMEOUT_S,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {f"{name}_error": f"timeout after {SECTION_TIMEOUT_S}s"}
+    tail_out = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not tail_out:
+        err = (proc.stderr or "").strip().splitlines()
+        msg = err[-1] if err else f"rc={proc.returncode}, no output"
+        return {f"{name}_error": msg[:200]}
+    try:
+        return json.loads(tail_out[-1])
+    except json.JSONDecodeError:
+        return {f"{name}_error": f"bad JSON: {tail_out[-1][:160]}"}
+
 
 def main():
+    if "--section" in sys.argv:
+        name = sys.argv[sys.argv.index("--section") + 1]
+        out = SECTIONS[name]()
+        print(json.dumps(out))
+        return
+
+    diag = {}
+    rerank = _run_section("rerank")
+    diag.update(rerank)
+    on_tpu = bool(rerank.get("on_tpu", False))
+    diag.pop("on_tpu", None)
+    if on_tpu and os.environ.get("FIBER_BENCH_TRAIN", "1") != "0":
+        diag.update(_run_section("train"))
+    if on_tpu and os.environ.get("FIBER_BENCH_DET", "1") != "0":
+        diag.update(_run_section("det"))
+    if on_tpu and os.environ.get("FIBER_BENCH_DET_TRAIN", "1") != "0":
+        diag.update(_run_section("det_train"))
+
+    pairs_per_sec = diag.pop("pairs_per_sec", 0.0)
+    print(json.dumps(diag), file=sys.stderr)
+    print(json.dumps({
+        "metric": "itm_rerank_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS, 3),
+    }))
+
+
+def _rerank_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from fiber_tpu.config import FiberConfig
     from fiber_tpu.models.fiber import FiberCoarse
     from fiber_tpu.objectives.retrieval import rank_pairs_pipeline
@@ -57,10 +122,13 @@ def main():
     # The reference rerank scores EVERY text against EVERY image
     # (objectives.py:442-466: per-image loop over all text batches), so
     # the benchmark workload is the full n_images x n_texts matrix.
-    # pair_batch 64 measured best (tools/profile_rerank.py round 3:
-    # tail 0.816 ms/pair at B=64 vs 0.845 at B=32).
-    pair_batch = 64 if on_tpu else 2
+    # pair_batch / trunk_batch from the round-5 on-chip sweep
+    # (tools/profile_rerank.py) after the head-group grid fix landed.
+    pair_batch = int(os.environ.get("FIBER_BENCH_PAIR_BATCH",
+                                    128 if on_tpu else 2))
     n_images = 16 if on_tpu else 2
+    trunk_batch = int(os.environ.get("FIBER_BENCH_TRUNK_BATCH",
+                                     min(8, n_images)))
     topk = None  # full matrix, like the reference
 
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
@@ -98,7 +166,7 @@ def main():
         s = rank_pairs_pipeline(model, variables,
                                 images * (1.0 + seed * 1e-6),
                                 ids, msk, pair_img, pair_txt, pair_batch,
-                                trunk_batch=min(8, n_images))
+                                trunk_batch=trunk_batch)
         return float(s.sum())  # host fetch = the only reliable barrier
 
     run(jnp.float32(0.0))  # compile + warm
@@ -115,40 +183,20 @@ def main():
     #  sums to 109.2 GF for one full forward, matching FLOPS_PER_PAIR)
     TRUNK_GF, PRE_GF, TAIL_GF = 69.11e9, 3.57e9, 36.52e9
     executed = n_images * TRUNK_GF + n_texts * PRE_GF + n_pairs * TAIL_GF
-    diag = {
+    return {
+        "on_tpu": on_tpu,
+        "pairs_per_sec": round(pairs_per_sec, 2),
         "pairs": n_pairs, "sec_per_rerank": round(dt, 4),
+        "pair_batch": pair_batch, "trunk_batch": trunk_batch,
         "executed_tf_per_s": round(executed / dt / 1e12, 2),
         "executed_mfu_v5e": round(executed / dt / V5E_PEAK, 4),
         "reference_work_mfu_v5e": round(
             pairs_per_sec * FLOPS_PER_PAIR / V5E_PEAK, 4),
         "a100_baseline_pairs_per_s": round(A100_BASELINE_PAIRS, 1),
     }
-    # Secondary metric: zero-shot detection throughput vs its own derived
-    # baseline (BASELINE.md "detection baseline": the reference eval is
-    # batch-1-constrained, generalized_vl_rcnn.py:363).  Off by default
-    # off-TPU; FIBER_BENCH_DET=0 skips it on TPU too.
-    if on_tpu and os.environ.get("FIBER_BENCH_DET", "1") != "0":
-        try:
-            diag.update(_detection_bench())
-        except Exception as e:  # never fail the headline metric
-            diag["det_error"] = f"{type(e).__name__}: {e}"[:200]
-    # Tertiary metric: pretrain step throughput vs its derived baseline
-    # (BASELINE.md "pretrain baseline"; round-4 VERDICT item 4).
-    if on_tpu and os.environ.get("FIBER_BENCH_TRAIN", "1") != "0":
-        try:
-            diag.update(_pretrain_bench())
-        except Exception as e:
-            diag["train_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(diag), file=sys.stderr)
-    print(json.dumps({
-        "metric": "itm_rerank_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 2),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS, 3),
-    }))
 
 
-def _detection_bench(batch: int = 8, reps: int = 6):
+def _detection_bench(batch: int | None = None, reps: int = 6):
     """Fusion Swin-B + VLDyHead zero-shot eval step at the reference test
     resolution (800x1344, 256-token prompt, 80-class prompt map).
 
@@ -170,6 +218,8 @@ def _detection_bench(batch: int = 8, reps: int = 6):
                                               GroundingDetector,
                                               detection_inference)
 
+    if batch is None:
+        batch = int(os.environ.get("FIBER_BENCH_DET_BATCH", 8))
     cfg = DetectorConfig(image_size=(800, 1344),
                          compute_dtype=jnp.bfloat16)
     model = GroundingDetector(cfg)
@@ -238,6 +288,7 @@ def _pretrain_bench(batch: int = 8, reps: int = 3):
     from fiber_tpu.config import FiberConfig
     from fiber_tpu.train.trainer import CoarseTrainer
 
+    batch = int(os.environ.get("FIBER_BENCH_TRAIN_BATCH", batch))
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
                            swin_drop_path_rate=0.0,
                            loss_names=("mlm", "itc", "itm"))
@@ -278,6 +329,82 @@ def _pretrain_bench(batch: int = 8, reps: int = 3):
         "pretrain_a100_baseline_ex_per_s": round(train_baseline, 2),
         "pretrain_vs_baseline": round(ex_per_s / train_baseline, 3),
     }
+
+
+def _det_train_bench(batch: int = 4, reps: int = 3):
+    """Fine-grained (detection) pretrain step throughput: one
+    DetectionTrainer step at a bucket shape, vs the reference's
+    fine-pretrain scale (fine_grained/README.md:38-44: global batch 64 on
+    64 V100s = 1 img/GPU/step).  See BASELINE.md "detection training
+    baseline" for the derivation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fiber_tpu.detection.detector import DetectorConfig
+    from fiber_tpu.train.detection_trainer import DetectionTrainer
+
+    batch = int(os.environ.get("FIBER_BENCH_DET_TRAIN_BATCH", batch))
+    cfg = DetectorConfig(image_size=(800, 1344),
+                         compute_dtype=jnp.bfloat16)
+    trainer = DetectionTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    B = batch
+    H, W = cfg.image_size
+    L = cfg.max_query_len
+    rng = np.random.default_rng(0)
+    n_box = 16
+    x0 = rng.uniform(0, W - 80, (B, n_box))
+    y0 = rng.uniform(0, H - 80, (B, n_box))
+    boxes = np.stack([x0, y0, x0 + rng.uniform(16, 64, (B, n_box)),
+                      y0 + rng.uniform(16, 64, (B, n_box))], axis=-1)
+    pos_map = np.zeros((B, n_box, L), np.float32)
+    for b in range(B):
+        for g in range(n_box):
+            pos_map[b, g, (2 * g + 1) % L] = 1.0
+    batch_d = {
+        "images": jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.5,
+                              cfg.compute_dtype),
+        "input_ids": jnp.asarray(rng.integers(4, cfg.vocab_size, (B, L)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "gt_boxes": jnp.asarray(boxes, jnp.float32),
+        "gt_valid": jnp.ones((B, n_box), bool),
+        "positive_map": jnp.asarray(pos_map),
+    }
+
+    state, metrics = trainer.train_step(state, batch_d,
+                                        jax.random.PRNGKey(1))
+    float(metrics["total_loss"])        # compile + warm, host barrier
+    t0 = time.perf_counter()
+    for r in range(reps):
+        state, metrics = trainer.train_step(state, batch_d,
+                                            jax.random.PRNGKey(2 + r))
+    loss = float(metrics["total_loss"])  # single fetch ends the chain
+    dt = (time.perf_counter() - t0) / reps
+
+    # BASELINE.md "detection-training baseline": 1 img/V100/step at
+    # global batch 64 (fine_grained README.md:37-44), 6% assumed MFU ->
+    # 125e12 * 0.06 / 3640e9 = 2.06 img/s per V100.
+    det_train_baseline = 2.06
+    ex_per_s = B / dt
+    return {
+        "det_train_ex_per_s_per_chip": round(ex_per_s, 2),
+        "det_train_micro_batch": B,
+        "det_train_step_ms": round(dt * 1e3, 1),
+        "det_train_loss_finite": bool(np.isfinite(loss)),
+        "det_train_v100_baseline_ex_per_s": det_train_baseline,
+        "det_train_vs_baseline": round(ex_per_s / det_train_baseline, 3),
+    }
+
+
+SECTIONS = {
+    "rerank": _rerank_bench,
+    "det": _detection_bench,
+    "train": _pretrain_bench,
+    "det_train": _det_train_bench,
+}
 
 
 if __name__ == "__main__":

@@ -162,24 +162,37 @@ class DyConv(nn.Module):
                 offsets[i] = om[..., :18]
                 masks[i] = jax.nn.sigmoid(om[..., 18:])
 
+        def _reinterpret(buf, hu, wu):
+            # The reference passes the LEVEL-l offset/mask buffer (NCHW
+            # contiguous) to the stride-1 conv over level l+1; the CUDA
+            # kernel has no offset shape check (deform_conv_cuda.cu:548
+            # passes offset[b] raw) and indexes it flat with the
+            # level-(l+1) output strides (deform_conv_kernel_cuda.cu
+            # im2col: ((2k)*h_col + h)*w_col + w) — a flat buffer
+            # reinterpretation, NOT a spatial crop.  Reproduce exactly.
+            if buf is None:
+                return None
+            B, _, _, C = buf.shape
+            flat = buf.transpose(0, 3, 1, 2).reshape(B, -1)
+            flat = flat[:, :C * hu * wu].reshape(B, C, hu, wu)
+            return flat.transpose(0, 2, 3, 1)
+
         outs = []
         for l, feat in enumerate(feats):
             # The reference computes conv_args (offset/mask) once per level
             # from `feature` and passes them to all three convs
             # (vldyhead.py:215-228): the stride-2 conv over level l-1
             # lands exactly on level-l resolution; the stride-1 conv over
-            # level l+1 reads the top-left sub-region of the level-l
-            # offset map (the CUDA kernel indexes offsets by output pixel).
+            # level l+1 reinterprets the level-l offset buffer (see
+            # _reinterpret above).
             temp = [self.conv_same(feat, offsets[l], masks[l])]
             if l > 0:
                 temp.append(self.conv_down(feats[l - 1], offsets[l],
                                            masks[l]))
             if l < n - 1:
                 hu, wu = feats[l + 1].shape[1], feats[l + 1].shape[2]
-                off_u = (offsets[l][:, :hu, :wu]
-                         if offsets[l] is not None else None)
-                msk_u = (masks[l][:, :hu, :wu]
-                         if masks[l] is not None else None)
+                off_u = _reinterpret(offsets[l], hu, wu)
+                msk_u = _reinterpret(masks[l], hu, wu)
                 up = self.conv_up(feats[l + 1], off_u, msk_u)
                 temp.append(_resize_bilinear(up, feat.shape[1],
                                              feat.shape[2]))

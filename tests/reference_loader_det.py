@@ -357,8 +357,82 @@ def load_default_cfg():
     return cfg.clone()
 
 
+def modulated_deform_conv_cpu(x, offset, mask, weight, bias=None,
+                              stride=1, padding=1, dilation=1, groups=1,
+                              deformable_groups=1):
+    """CPU torch stand-in for the reference's CUDA-only
+    modulated_deform_conv (csrc/cuda/deform_conv_cuda.cu:495-:570 +
+    deform_conv_kernel_cuda.cu im2col), written independently of
+    fiber_tpu's jax op so whole-model deform parity is a real
+    cross-implementation check.
+
+    Mirrors the kernel exactly, including:
+      * dmcn bilinear border semantics (sample counted iff
+        -1 < s < size; out-of-range corners contribute 0)
+      * the NO-SHAPE-CHECK flat reinterpretation of oversized
+        offset/mask buffers with the conv's own output strides
+        (the forward passes offset[b] raw; vldyhead's conv_up path
+        relies on this)
+    """
+    import torch
+    assert groups == 1 and deformable_groups == 1
+    B, C, H, W = x.shape
+    Cout, Cin, kh, kw = weight.shape
+    Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    off = offset.contiguous().view(B, -1)[:, :2 * kh * kw * Ho * Wo]
+    off = off.view(B, kh * kw, 2, Ho, Wo)   # [..., 0]=dy, [..., 1]=dx
+    msk = mask.contiguous().view(B, -1)[:, :kh * kw * Ho * Wo]
+    msk = msk.view(B, kh * kw, Ho, Wo)
+    base_y = (torch.arange(Ho, dtype=x.dtype) * stride - padding)
+    base_x = (torch.arange(Wo, dtype=x.dtype) * stride - padding)
+
+    out = torch.zeros(B, Cout, Ho, Wo, dtype=x.dtype)
+    xf = x.reshape(B, C, -1)
+    for k in range(kh * kw):
+        ky, kx = k // kw, k % kw
+        sy = base_y.view(1, Ho, 1) + ky * dilation + off[:, k, 0]
+        sx = base_x.view(1, 1, Wo) + kx * dilation + off[:, k, 1]
+        valid = (sy > -1) & (sy < H) & (sx > -1) & (sx < W)
+        y0 = torch.floor(sy)
+        x0 = torch.floor(sx)
+        ly, lx = sy - y0, sx - x0
+        vals = torch.zeros(B, C, Ho, Wo, dtype=x.dtype)
+        for yy, wy in ((y0, 1 - ly), (y0 + 1, ly)):
+            for xx, wx in ((x0, 1 - lx), (x0 + 1, lx)):
+                inb = ((yy >= 0) & (yy <= H - 1)
+                       & (xx >= 0) & (xx <= W - 1))
+                yi = yy.clamp(0, H - 1).long()
+                xi = xx.clamp(0, W - 1).long()
+                flat = (yi * W + xi).view(B, 1, -1).expand(B, C, Ho * Wo)
+                v = torch.gather(xf, 2, flat).view(B, C, Ho, Wo)
+                vals = vals + v * (wy * wx * inb.to(x.dtype)).unsqueeze(1)
+        samp = vals * (msk[:, k] * valid.to(x.dtype)).unsqueeze(1)
+        out = out + torch.einsum("bchw,oc->bohw", samp,
+                                 weight[:, :, ky, kx])
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
+def patch_deform_cpu():
+    """Route the reference's ModulatedDeformConv.forward through the CPU
+    stand-in (the shipped binding raises on CPU: layers/deform_conv.py
+    binds _C.modulated_deform_conv_forward, CUDA-only)."""
+    from maskrcnn_benchmark.layers import deform_conv as dc
+
+    def _apply(input, offset, mask, weight, bias=None, stride=1,
+               padding=0, dilation=1, groups=1, deformable_groups=1):
+        with __import__("torch").no_grad():
+            return modulated_deform_conv_cpu(
+                input, offset, mask, weight, bias, stride, padding,
+                dilation, groups, deformable_groups)
+
+    dc.modulated_deform_conv = _apply
+
+
 def build_reference_vlrcnn(tiny: bool = True, max_query_len: int = 24,
-                           seed: int = 0):
+                           seed: int = 0, use_deform: bool = False):
     """Build the reference's assembled GeneralizedVLRCNN in-process:
     SWINT-FPN-RETINANET (fusion v2 body) + roberta-fused-v2 + VLDyHead
     (generalized_vl_rcnn.py:64-240).
@@ -368,10 +442,9 @@ def build_reference_vlrcnn(tiny: bool = True, max_query_len: int = 24,
     stage-4 blocks 0/1 fused explicitly :906-918; 6 pre-text layers
     :850), so even the tiny variant keeps depths (2,2,18,2), full
     Swin-B widths and lang_dim 768, shrinking only the resolution and
-    the dyhead tower.  USE_DFCONV stays
-    False: the reference deformable conv binds CUDA-only kernels
-    (layers/deform_conv.py) — deform parity is pinned separately at
-    component level (tests/test_deform_conv.py).
+    the dyhead tower.  use_deform=True enables USE_DFCONV with the CPU
+    stand-in above (the shipped binding is CUDA-only); component-level
+    deform parity lives in tests/test_deform_conv.py.
 
     Returns (cfg, model.eval()).
     """
@@ -404,7 +477,11 @@ def build_reference_vlrcnn(tiny: bool = True, max_query_len: int = 24,
     m.DYHEAD.NUM_CONVS = 6
     m.DYHEAD.USE_GN = True
     m.DYHEAD.USE_DYRELU = True
-    m.DYHEAD.USE_DFCONV = False       # CUDA-only in the reference
+    # the reference deform conv binds CUDA-only kernels; with
+    # use_deform=True we patch in modulated_deform_conv_cpu (above)
+    m.DYHEAD.USE_DFCONV = bool(use_deform)
+    if use_deform:
+        patch_deform_cpu()
     m.DYHEAD.USE_DYFUSE = True
     m.DYHEAD.TOPK = 9
     m.DYHEAD.SCORE_AGG = "MEAN"

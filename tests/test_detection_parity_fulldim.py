@@ -29,24 +29,27 @@ from fiber_tpu.utils.fuzzy_load import flatten_params
 torch = pytest.importorskip("torch")
 
 
-def _build_pair(tiny: bool, image_size, max_query_len: int):
+def _build_pair(tiny: bool, image_size, max_query_len: int,
+                use_deform: bool = False):
     from reference_loader_det import build_reference_vlrcnn
     ref_cfg, ref = build_reference_vlrcnn(tiny=tiny,
-                                          max_query_len=max_query_len)
+                                          max_query_len=max_query_len,
+                                          use_deform=use_deform)
     cfg = DetectorConfig(
         image_size=image_size, embed_dim=128, depths=(2, 2, 18, 2),
         num_heads=(4, 8, 16, 32), window_size=12, num_fuse_block=6,
         out_channels=64 if tiny else 256,
         num_dyhead_convs=2 if tiny else 6,
         max_query_len=max_query_len, lang_dim=768, num_text_heads=12,
-        use_deform=False, use_pallas_attention=False)
+        use_deform=use_deform, use_pallas_attention=False)
     model = GroundingDetector(cfg)
     return ref, model, cfg
 
 
 def _converted_params(ref, model, cfg):
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    conv, unmapped = convert_detection_state_dict(sd, use_deform=False)
+    conv, unmapped = convert_detection_state_dict(
+        sd, use_deform=cfg.use_deform)
     # nothing on the FIBER path may silently fail to convert
     assert not unmapped, f"unmapped reference keys: {unmapped[:10]}"
 
@@ -117,9 +120,29 @@ def test_whole_model_parity_tiny():
     _run_pair(ref, model, cfg)
 
 
+def test_whole_model_parity_tiny_deform():
+    """Tiny geometry with USE_DFCONV=True (the benched/production
+    default, DetectorConfig.use_deform) — pins the deform ASSEMBLY:
+    offset/mask conv wiring, weight conversion, the shared-conv-args
+    quirk incl. the conv_up flat-buffer reinterpretation — against the
+    reference DyConv tower running an independent CPU stand-in of its
+    CUDA kernel (round-5 VERDICT item 4)."""
+    ref, model, cfg = _build_pair(True, (64, 96), 24, use_deform=True)
+    _run_pair(ref, model, cfg)
+
+
 @pytest.mark.slow
 def test_whole_model_parity_fulldim():
     """FIBER-Base dims at 320x480 — the detection analogue of
     test_reference_parity_fulldim.py (round-4 VERDICT item 2)."""
     ref, model, cfg = _build_pair(False, (320, 480), 48)
+    _run_pair(ref, model, cfg)
+
+
+@pytest.mark.slow
+def test_whole_model_parity_fulldim_deform():
+    """Reduced-full dims with deform ON — closes the last unpinned seam
+    between the parity config and the benched config (use_deform=True
+    at full channels)."""
+    ref, model, cfg = _build_pair(False, (160, 224), 32, use_deform=True)
     _run_pair(ref, model, cfg)
