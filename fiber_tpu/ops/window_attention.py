@@ -103,11 +103,13 @@ def _kernel_call(qkv: jax.Array, bias: jax.Array, num_heads: int,
 
 
 # Training support: the kernel defines no transpose rule, so give it a
-# custom VJP — forward runs the kernel, backward recomputes attention
-# with the packed XLA formulation and differentiates that (flash-
-# attention-style recompute: no (B, nW, h, N, N) probs saved in the
-# residuals; one extra XLA attention per backward).  d(bias) flows so
-# the relative-position-bias table still trains.
+# custom VJP — forward runs the packed kernel; backward runs a packed
+# Pallas backward kernel (flash-attention-style: recompute the softmax
+# from (qkv, bias) in VMEM, no (B, nW, h, N, N) probs in the residuals).
+# Round 5: the backward previously differentiated the packed XLA
+# formulation, whose G-fold FLOP overhead runs through HBM-resident
+# (G*N, N) fp32 logits — the measured pretrain-step drag (VERDICT r4
+# item 2).  d(bias) flows so the relative-position-bias table trains.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _window_attention(qkv, bias, num_heads, windows_per_program,
                       interpret):
@@ -123,10 +125,8 @@ def _wa_fwd(qkv, bias, num_heads, windows_per_program, interpret):
 
 def _wa_bwd(num_heads, windows_per_program, interpret, res, g):
     qkv, bias = res
-    _, vjp = jax.vjp(
-        lambda q, b: window_attention_packed_xla(q, b, num_heads),
-        qkv, bias)
-    return vjp(g)
+    return window_attention_packed_pallas_bwd(qkv, bias, g, num_heads,
+                                              interpret=interpret)
 
 
 _window_attention.defvjp(_wa_fwd, _wa_bwd)
@@ -283,6 +283,105 @@ def window_attention_packed_pallas(qkv: jax.Array, bias: jax.Array,
         interpret=interpret,
     )(q, k, v, bias2)
     return out
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                       scale: float, G: int, hd: int):
+    """Backward of _packed_kernel, one (head-group, window, batch) grid
+    cell: recompute logits + softmax in VMEM, then the four gradient
+    contractions as dense 2D MXU matmuls at the same
+    (G*N, max(N, Cg))-class shapes as the forward.
+
+    dbias accumulates across the batch axis: the grid is (ng, nW, B)
+    with B innermost and dbias's index map ignores b, so Mosaic keeps
+    the block resident and revisits it — initialized at b == 0.
+    Gradient matmuls run with bf16 operands (fp32 accumulate), the
+    standard flash-backward precision; dbias/dlogits stay fp32."""
+    _, _, N, Cg = q_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 2)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (G, 1, Cg), 0)
+    mask = (lane // hd == grp).astype(q_ref.dtype)    # (G, 1, Cg)
+
+    qg = q_ref[0, 0]                                  # (N, Cg)
+    kg = k_ref[0, 0]
+    vg = v_ref[0, 0]
+    do = do_ref[0, 0]
+    qm = (qg[None] * mask).reshape(G * N, Cg)         # block-diagonal
+    logits = jax.lax.dot_general(
+        qm, kg, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (G*N, N)
+    logits = logits * scale + bias_ref[0, 0]
+    p = jax.nn.softmax(logits, axis=-1)               # fp32 (G*N, N)
+
+    dz = (do[None] * mask).reshape(G * N, Cg)         # (G*N, Cg)
+    pb = p.astype(vg.dtype)
+    # dv = P^T @ dz  (contract over the G*N rows)
+    dv = jax.lax.dot_general(
+        pb, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N, Cg)
+    # dP = dz @ v^T
+    dp = jax.lax.dot_general(
+        dz, vg, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (G*N, N)
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dbias_ref[0, 0] = dlogits
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        dbias_ref[0, 0] += dlogits
+
+    dlb = dlogits.astype(qg.dtype)
+    # dqm = scale * dlogits @ k; then fold the G row-blocks back to (N, Cg)
+    dqm = jax.lax.dot_general(
+        dlb, kg, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (G*N, Cg)
+    dqg = (dqm.reshape(G, N, Cg) * mask).sum(axis=0) * scale
+    # dk = scale * dlogits^T @ qm
+    dk = jax.lax.dot_general(
+        dlb, qm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N, Cg)
+    dq_ref[0, 0] = dqg.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def window_attention_packed_pallas_bwd(qkv: jax.Array, bias: jax.Array,
+                                       dout: jax.Array, num_heads: int,
+                                       interpret: bool = False):
+    """VJP of window_attention_packed_pallas: (dqkv, dbias)."""
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    scale = hd ** -0.5
+    G = min(h, max(1, 128 // hd))
+    ng = h // G
+    Cg = G * hd
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    bias2 = bias.astype(jnp.float32).reshape(nW, ng, G * N, N)
+
+    spec = pl.BlockSpec((1, 1, N, Cg), lambda g, w, b: (b, w, 0, g),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, G * N, N), lambda g, w, b: (w, g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias2 = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, G=G, hd=hd),
+        grid=(ng, nW, B),
+        in_specs=[spec, spec, spec, bias_spec, spec],
+        out_specs=[spec, spec, spec, bias_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, nW, N, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, nW, N, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, nW, N, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((nW, ng, G * N, N), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, bias2, dout)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dbias = dbias2.reshape(nW, h, N, N).astype(bias.dtype)
+    return dqkv, dbias
 
 
 def window_attention_windows_reference(qkv: jax.Array, bias: jax.Array,

@@ -48,10 +48,34 @@ _SLOW_MODULES = {
     "test_fusion_versions", "test_scst", "test_tp",
 }
 
+# Individual stragglers measured > ~30 s of (mostly compile) time on the
+# 1-core CI host (round-5 `--durations` audit): demoted so the fast tier
+# fits its < 10-min budget.  Each demoted test's subsystem keeps cheaper
+# fast-tier coverage in the same module.
+_SLOW_TESTS = {
+    ("test_nan_debug", "test_nan_dump_and_guard"),
+    ("test_detector", "test_detection_loss_finite_and_differentiable"),
+    ("test_detector", "test_detection_inference_shapes"),
+    ("test_objectives", "test_pretrain_losses_grads_flow"),
+    ("test_objectives", "test_pretrain_losses_finite_and_queue_updates"),
+    ("test_objectives", "test_itm_hardneg_chunked_grads_flow"),
+    ("test_backbone_registry", "test_fbnet_grads_finite"),
+    ("test_backbone_registry", "test_efficientnet_bifpn_registry"),
+    ("test_backbone_registry", "test_fbnet_trunk_shapes"),
+    ("test_caption_cache", "test_greedy_cached_matches_oracle"),
+    ("test_caption_cache", "test_beam_cached_matches_oracle"),
+    ("test_fiber_model", "test_train_config_remat_droppath_traces"),
+    ("test_backbone_zoo", "test_bifpn_shapes_and_grads"),
+    ("test_backbone_zoo", "test_swin_v2_backbone"),
+    ("test_backbone_zoo", "test_efficientnet_strides"),
+}
+
 
 def pytest_collection_modifyitems(items):
     for item in items:
-        if item.module.__name__ in _SLOW_MODULES:
+        mod = item.module.__name__
+        name = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or (mod, name) in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
 
 

@@ -52,6 +52,32 @@ def test_packed_kernel_multi_group_matches_reference():
     np.testing.assert_allclose(np.asarray(xla), np.asarray(ref), atol=1e-5)
 
 
+def test_packed_bwd_kernel_multi_group_gradients():
+    """Pallas backward kernel (round 5) at ng > 1: dbias accumulates
+    across the innermost batch grid axis per (window, group) block;
+    grads wrt qkv AND bias must match differentiating the reference."""
+    rng = np.random.default_rng(11)
+    B, nW, N, h, hd = 3, 2, 8, 4, 64
+    C = h * hd
+    qkv = jnp.asarray(rng.standard_normal((B, nW, N, 3 * C)), jnp.float32)
+    bias = _bias(nW, h, N, rng, with_mask=True)
+    g = jnp.asarray(rng.standard_normal((B, nW, N, C)), jnp.float32)
+
+    def loss_kernel(q, b):
+        out = wa.fused_window_attention_windows(q, b, h, interpret=True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, b):
+        return jnp.sum(wa.window_attention_windows_reference(q, b, h) * g)
+
+    dq_k, db_k = jax.grad(loss_kernel, argnums=(0, 1))(qkv, bias)
+    dq_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(dq_k), np.asarray(dq_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_k), np.asarray(db_r),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_reference_matches_naive_per_window():
     rng = np.random.default_rng(1)
     B, nW, N, C, h = 1, 2, 4, 8, 2
