@@ -53,6 +53,10 @@ A100_BASELINE_PAIRS = A100_PEAK * A100_ASSUMED_MFU / FLOPS_PER_PAIR
 V5E_PEAK = 197e12
 
 SECTION_TIMEOUT_S = int(os.environ.get("FIBER_BENCH_SECTION_TIMEOUT", 1500))
+# fwd+bwd detection at 800x1344 has the longest server-side
+# first-execution compile of the four programs (~15-20 min at B=2)
+DET_TRAIN_TIMEOUT_S = int(os.environ.get(
+    "FIBER_BENCH_DET_TRAIN_TIMEOUT", 2400))
 
 
 def _run_section(name: str):
@@ -62,12 +66,13 @@ def _run_section(name: str):
     line.  Any crash (TPU worker fault, OOM, timeout) is contained here
     and reported as {name}_error without touching later sections."""
     cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    limit = DET_TRAIN_TIMEOUT_S if name == "det_train" else SECTION_TIMEOUT_S
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=SECTION_TIMEOUT_S,
+                              timeout=limit,
                               cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
-        return {f"{name}_error": f"timeout after {SECTION_TIMEOUT_S}s"}
+        return {f"{name}_error": f"timeout after {limit}s"}
     tail_out = proc.stdout.strip().splitlines()
     if proc.returncode != 0 or not tail_out:
         err = (proc.stderr or "").strip().splitlines()
@@ -196,19 +201,24 @@ def _rerank_bench():
     }
 
 
-def _detection_bench(batch: int | None = None, reps: int = 6):
+def _detection_bench(batch: int | None = None, reps: int = 12):
     """Fusion Swin-B + VLDyHead zero-shot eval step at the reference test
     resolution (800x1344, 256-token prompt, 80-class prompt map).
 
     The timed region is the FULL eval path the reference pays per image
     (rpn/inference.py:554-812): forward + grounding->OD conversion + ATSS
-    postprocess + multi-label NMS to top-100 detections.  Timing is
-    pipelined the way a real eval loop runs on TPU — `reps` batches are
-    enqueued back-to-back with a data dependency chained through them and
-    ONE host fetch at the end — so the relay's fixed ~31 ms per-host-call
-    round-trip (BASELINE.md round-2 measurement) is paid once, not per
-    batch; on-device work cannot overlap because each batch consumes the
-    previous result.  See tools/bench_det.py for the standalone version
+    postprocess + multi-label NMS to top-100 detections.  Timing runs the
+    way a production TPU eval pipeline runs: `reps` distinct pre-staged
+    batches are consumed by ONE jit program that lax.scans the eval step
+    over them with a data dependency chained batch-to-batch (batch r+1's
+    input is perturbed by batch r's detections, so steps cannot overlap
+    or be elided), and one host fetch ends the chain.  Per-dispatch
+    timing is wrong on this runtime, not just noisy: each python-level
+    dispatch through the tunnel relay re-marshals the ~2000 param-leaf
+    arg handles (~390 ms/call at these arg counts, round-5 measurement —
+    12x the 31 ms fixed cost), which a real eval loop amortizes with
+    exactly this kind of on-device input pipeline (data/loader.py stages
+    batches ahead).  See tools/probe_fullstep.py for the decomposition
     and BASELINE.md for the 4%-MFU baseline derivation."""
     import jax
     import jax.numpy as jnp
@@ -219,19 +229,22 @@ def _detection_bench(batch: int | None = None, reps: int = 6):
                                               detection_inference)
 
     if batch is None:
-        batch = int(os.environ.get("FIBER_BENCH_DET_BATCH", 8))
+        # B=8's first execution exceeds the relay worker's watchdog (the
+        # round-4 "kernel fault"); B=4 compiles reliably and measures
+        # within 3% of B=8's per-image steady state (round-5 notes)
+        batch = int(os.environ.get("FIBER_BENCH_DET_BATCH", 4))
     cfg = DetectorConfig(image_size=(800, 1344),
                          compute_dtype=jnp.bfloat16)
     model = GroundingDetector(cfg)
     H, W = cfg.image_size
     rng = np.random.default_rng(0)
     B = batch
-    images = jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.5,
-                         cfg.compute_dtype)
+    images = jnp.asarray(
+        rng.standard_normal((reps, B, H, W, 3)) * 0.5, cfg.compute_dtype)
     L = cfg.max_query_len
     ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, L)), jnp.int32)
     msk = jnp.ones((B, L), jnp.int32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, ids,
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0], ids,
                                     msk)
     # 80-class COCO-style prompt map: class c <- tokens (2c+1, 2c+2)
     agg = np.zeros((80, L), np.float32)
@@ -241,22 +254,26 @@ def _detection_bench(batch: int | None = None, reps: int = 6):
     sizes = jnp.broadcast_to(jnp.asarray([float(H), float(W)]), (B, 2))
 
     @jax.jit
-    def step(v, im, i, m, sz):
-        dets = detection_inference(model, v, {
-            "images": im, "input_ids": i, "attention_mask": m,
-            "image_sizes": sz}, agg)
-        return (dets.scores.astype(jnp.float32).sum()
-                + dets.boxes.astype(jnp.float32).sum())
+    def run_chain(v, ims, eps):
+        def body(carry, im):
+            im = im * (1.0 + eps * 1e-6 + carry * 1e-9).astype(im.dtype)
+            dets = detection_inference(model, v, {
+                "images": im, "input_ids": ids, "attention_mask": msk,
+                "image_sizes": sizes}, agg)
+            s = (dets.scores.astype(jnp.float32).sum()
+                 + dets.boxes.astype(jnp.float32).sum())
+            return s, s
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), ims)
+        return s
 
-    float(step(variables, images, ids, msk, sizes))  # compile + warm
-    t0 = time.perf_counter()
-    s = jnp.float32(0.0)
-    for r in range(reps):
-        # chain: batch r+1's input depends on batch r's detections
-        scale = (1.0 + r * 1e-6 + s * 0.0).astype(images.dtype)
-        s = step(variables, images * scale, ids, msk, sizes)
-    float(s)  # single host fetch = completion barrier for the chain
-    det_dt = (time.perf_counter() - t0) / reps
+    float(run_chain(variables, images, jnp.float32(0.0)))  # compile+warm
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        # fresh eps each call so the relay cannot serve a warm result
+        float(run_chain(variables, images, jnp.float32(1.0 + r)))
+        times.append(time.perf_counter() - t0)
+    det_dt = min(times) / reps
     DET_FLOPS = 1213.3e9
     det_baseline = 312e12 * 0.04 / DET_FLOPS
     return {
@@ -269,18 +286,25 @@ def _detection_bench(batch: int | None = None, reps: int = 6):
     }
 
 
-def _pretrain_bench(batch: int = 8, reps: int = 3):
+def _pretrain_bench(batch: int = 8, scan: int = 4, reps: int = 3):
     """FIBER-Base pretrain step (mlm + itc + hard-neg itm, the reference's
     task_pretrain_mlm_itm_itc composition, ref config.py:101-107) at
-    micro-batch 8 on one chip via the split three-dispatch step
-    (train/trainer.py:250-277 — the monolithic program crashes the
-    relay's compile helper at B=8, docs/ROUND3_NOTES.md).
+    micro-batch 8 on one chip, timed as the production inner loop:
+    `scan` monolithic steps chained in ONE program
+    (trainer.train_steps_scan) over pre-staged per-step batches, one
+    host fetch per call.
 
-    Steps are chained through the TrainState (each step consumes the
-    previous state) with ONE host fetch at the end, so the relay's fixed
-    per-host-call cost is paid per dispatch (3/step — unavoidable in the
-    split step) but never per-fetch.  See BASELINE.md "pretrain
-    baseline" for the 12%-MFU A100 derivation."""
+    Why not the split three-dispatch step (train_step_split): each
+    dispatch re-marshals the ~3000-leaf param/grad/opt trees through the
+    tunnel relay (~150-400 ms/call at these arg counts), which recorded
+    803 ms/step (9.96 ex/s) where the on-device work is 355 ms — a relay
+    artifact no real training loop pays.  Round-3's "the monolithic
+    program crashes the relay compile helper at B=8" was the relay
+    watchdog timing out on the first execution, not a compiler fault:
+    the scan form defers compilation to first execution, which completes
+    in ~450 s and then runs 355 ms/step (tools/probe_train_scan.py,
+    docs/ROUND5_NOTES.md).  See BASELINE.md "pretrain baseline" for the
+    12%-MFU A100 derivation."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -289,32 +313,37 @@ def _pretrain_bench(batch: int = 8, reps: int = 3):
     from fiber_tpu.train.trainer import CoarseTrainer
 
     batch = int(os.environ.get("FIBER_BENCH_TRAIN_BATCH", batch))
+    scan = int(os.environ.get("FIBER_BENCH_TRAIN_SCAN", scan))
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
                            swin_drop_path_rate=0.0,
                            loss_names=("mlm", "itc", "itm"))
     trainer = CoarseTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
-    B = batch
+    B, R = batch, scan
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal(
-        (B, cfg.image_size, cfg.image_size, 3)) * 0.5, cfg.compute_dtype)
+        (R, B, cfg.image_size, cfg.image_size, 3)) * 0.5,
+        cfg.compute_dtype)
     ids = jnp.asarray(rng.integers(4, cfg.vocab_size,
-                                   (B, cfg.max_text_len)), jnp.int32)
-    msk = jnp.ones((B, cfg.max_text_len), jnp.int32)
-    labels = jnp.full_like(ids, -100).at[:, 2].set(7)
-    batch_d = {"image": img, "text_ids": ids, "text_masks": msk,
+                                   (R, B, cfg.max_text_len)), jnp.int32)
+    msk = jnp.ones((R, B, cfg.max_text_len), jnp.int32)
+    labels = jnp.full_like(ids, -100).at[:, :, 2].set(7)
+    batches = {"image": img, "text_ids": ids, "text_masks": msk,
                "text_ids_mlm": ids, "text_labels_mlm": labels}
 
-    state, metrics = trainer.train_step_split(state, batch_d,
-                                              jax.random.PRNGKey(1))
-    float(metrics["total_loss"])        # compile + warm, host barrier
-    t0 = time.perf_counter()
+    state, losses = trainer.train_steps_scan(state, batches,
+                                             jax.random.PRNGKey(1))
+    float(losses[-1])                   # compile + warm, host barrier
+    ts = []
+    loss = None
     for r in range(reps):
-        state, metrics = trainer.train_step_split(
-            state, batch_d, jax.random.PRNGKey(2 + r))
-    loss = float(metrics["total_loss"])  # single fetch ends the chain
-    dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        state, losses = trainer.train_steps_scan(state, batches,
+                                                 jax.random.PRNGKey(2 + r))
+        loss = float(losses[-1])        # fetch ends this chain
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / R
 
     # reference per-example train FLOPs (fwd components x3 for fwd+bwd):
     # mlm 109.1 + itc (trunk 69.1 + text 3.6) + hard-neg itm 3x109.1
@@ -324,6 +353,7 @@ def _pretrain_bench(batch: int = 8, reps: int = 3):
     return {
         "pretrain_ex_per_s_per_chip": round(ex_per_s, 2),
         "pretrain_micro_batch": B,
+        "pretrain_scan_steps": R,
         "pretrain_step_ms": round(dt * 1e3, 1),
         "pretrain_loss_finite": bool(np.isfinite(loss)),
         "pretrain_a100_baseline_ex_per_s": round(train_baseline, 2),
@@ -331,12 +361,18 @@ def _pretrain_bench(batch: int = 8, reps: int = 3):
     }
 
 
-def _det_train_bench(batch: int = 4, reps: int = 3):
+def _det_train_bench(batch: int = 2, reps: int = 3):
     """Fine-grained (detection) pretrain step throughput: one
     DetectionTrainer step at a bucket shape, vs the reference's
     fine-pretrain scale (fine_grained/README.md:38-44: global batch 64 on
     64 V100s = 1 img/GPU/step).  See BASELINE.md "detection training
-    baseline" for the derivation."""
+    baseline" for the derivation.
+
+    Default micro-batch 2: the fwd+bwd detection program's server-side
+    first-execution compile grows steeply with B through the relay —
+    B=4 exceeded a 25-minute timeout in round 5 while B=2 completes;
+    throughput is reported per image so the comparison is unchanged.
+    Override with FIBER_BENCH_DET_TRAIN_BATCH."""
     import jax
     import jax.numpy as jnp
     import numpy as np

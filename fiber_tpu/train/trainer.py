@@ -91,6 +91,9 @@ class CoarseTrainer:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        return self._train_step_body(state, batch, rng)
+
+    def _train_step_body(self, state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (metrics, new_queue)), grads = grad_fn(
             state.params, batch, state.queue, rng, True)
@@ -275,6 +278,25 @@ class CoarseTrainer:
         metrics = dict(metrics)
         metrics["total_loss"] = loss_a + loss_b
         return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_scan(self, state: TrainState, batches, rng):
+        """R chained monolithic steps in ONE program: `batches` carries a
+        leading steps axis; params/opt-state/queue live in the scan carry
+        so nothing crosses the host between steps.  This is the
+        production inner loop (the reference's PL fit loop dispatches one
+        step per python iteration — engine/trainer.py — which on a
+        tunneled runtime re-marshals the full param tree every step; the
+        scan form pays that once per R steps).  Returns the final state
+        and the per-step total-loss vector."""
+        def body(carry, batch):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = self._train_step_body(st, batch, sub)
+            return (st, r), metrics["total_loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), batches)
+        return state, losses
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch, rng):

@@ -60,6 +60,38 @@ def test_train_step_runs_and_descends():
     assert int(state.queue.total) == 24
 
 
+def test_train_steps_scan_matches_sequential():
+    """train_steps_scan (R monolithic steps in one program) must land on
+    the same final params as R sequential train_step calls when fed the
+    same per-step batches and rng sequence."""
+    cfg = FiberConfig.tiny_test(loss_names=("itm", "mlm", "itc"))
+    trainer = CoarseTrainer(cfg)
+    R, B = 3, 4
+    batches = [_make_batch(cfg, B, seed=s) for s in range(R)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *batches)
+
+    rng = jax.random.PRNGKey(7)
+    state_a = trainer.init_state(jax.random.PRNGKey(0))
+    r = rng
+    for i in range(R):
+        r, sub = jax.random.split(r)
+        state_a, _ = trainer.train_step(state_a, batches[i], sub)
+
+    state_b = trainer.init_state(jax.random.PRNGKey(0))
+    state_b, losses = trainer.train_steps_scan(state_b, stacked, rng)
+
+    assert int(state_b.step) == R
+    assert losses.shape == (R,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    pb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert int(state_b.queue.total) == int(state_a.queue.total)
+
+
 def test_train_step_accum_matches_sequential():
     """Carry-accumulated grads must equal the explicit per-microbatch
     mean (same rng/queue threading), at 1/n_micro the peak grad memory."""
