@@ -82,6 +82,9 @@ class DetectorConfig:
     # lowering, which at detection resolutions round-trips multi-GB fp32
     # attention probs through HBM); auto-gated off on non-TPU backends.
     use_pallas_attention: bool = True
+    # jax.checkpoint Swin blocks + DyConvs (training memory; the
+    # fwd+bwd program at 800x1344 B=2 needs ~15 GB HBM without it)
+    remat: bool = False
     # GLIP early fusion in the head tower ("none" for FIBER — fusion lives
     # in the backbone; "mha-b" enables VLFuse+lang layers, ref
     # vldyhead.py:627-668)
@@ -122,7 +125,8 @@ class GroundingDetector(nn.Module):
             max_query_len=c.max_query_len,
             fusion_version=c.fusion_version,
             add_linear_layer=c.add_linear_layer,
-            use_pallas=c.use_pallas_attention, dtype=c.compute_dtype)
+            use_pallas=c.use_pallas_attention, remat=c.remat,
+            dtype=c.compute_dtype)
         self.rpn = VLDyHead(
             num_convs=c.num_dyhead_convs, in_channels=c.out_channels,
             channels=c.out_channels, lang_dim=c.lang_dim,
@@ -135,7 +139,7 @@ class GroundingDetector(nn.Module):
             use_token_loss=c.use_token_loss,
             use_contrastive_align=c.use_contrastive_align,
             contrastive_hdim=c.contrastive_hdim,
-            dtype=c.compute_dtype)
+            remat=c.remat, dtype=c.compute_dtype)
         if c.use_shallow_contrastive:
             from fiber_tpu.detection.contrastive import ShallowProjections
             self.shallow_head = ShallowProjections(

@@ -288,6 +288,9 @@ class VLDyHead(nn.Module):
     # head in the reference)
     use_contrastive_align: bool = False
     contrastive_hdim: int = 64           # CONTRASTIVE_HIDDEN_DIM
+    # jax.checkpoint each DyConv (training memory: the deform-conv
+    # gathers' backward temps dominate the det fwd+bwd HBM footprint)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -320,8 +323,9 @@ class VLDyHead(nn.Module):
                     dtype=self.dtype, name=f"lang_layer_{i}")
             self.lang_layers = [_lang_layer(i)
                                 for i in range(self.num_convs)]
+        dyconv_cls = nn.remat(DyConv) if self.remat else DyConv
         self.tower = [
-            DyConv(in_channels=self.in_channels if i == 0 else chans,
+            dyconv_cls(in_channels=self.in_channels if i == 0 else chans,
                    out_channels=chans,
                    use_dyrelu=(self.use_dyrelu and
                                (i > 0 or self.in_channels == chans)),

@@ -69,6 +69,9 @@ class FusionSwinFPN(nn.Module):
     # enabled by the language_prompt_v2/v4 tuning modes)
     add_linear_layer: bool = False
     use_pallas: bool = False
+    # jax.checkpoint each Swin block (training memory: the detection
+    # fwd+bwd program at 800x1344 B=2 needs ~15 GB without it)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -102,8 +105,8 @@ class FusionSwinFPN(nn.Module):
                 fuse_flags=fuse,
                 i2t_query_norm=(self.fusion_version == "v3"),
                 pad_to_window=True,
-                use_pallas=self.use_pallas, dtype=self.dtype,
-                name=f"layers_{s}"))
+                use_pallas=self.use_pallas, remat=self.remat,
+                dtype=self.dtype, name=f"layers_{s}"))
         self.stages = stages
         if self.fusion_version == "v1":
             # stage-4 text fusion reads projected image tokens
@@ -163,10 +166,13 @@ class FusionSwinFPN(nn.Module):
         outs = []
         # stages 1-2 unfused; the stride-4 stage-1 output feeds no FPN
         # level (see out_norms above), so it gets no norm tap
+        # blocks are invoked positionally: under remat the block class is
+        # wrapped with static_argnums=(4,) (`deterministic`), which only
+        # covers positional arguments
         for s in range(2):
             stage = self.stages[s]
             for blk in stage.blocks:
-                x = blk(x, deterministic=deterministic)
+                x = blk(x, None, None, deterministic)
             if s >= 1:
                 outs.append(self.out_norms[s](x))
             x = stage.downsample(x)
@@ -181,15 +187,13 @@ class FusionSwinFPN(nn.Module):
             n_pre_block = self.depths[2] - n_tail
         for bi, blk in enumerate(stage3.blocks):
             if bi < n_pre_block:
-                x = blk(x, deterministic=deterministic)
+                x = blk(x, None, None, deterministic)
             elif self.fusion_version == "v1":
-                x = blk(x, text=text, text_bias=text_bias,
-                        deterministic=deterministic)
+                x = blk(x, text, text_bias, deterministic)
             else:
                 B, H, W, C3 = x.shape
                 img_tokens = x.reshape(B, H * W, C3)
-                fused_x = blk(x, text=text, text_bias=text_bias,
-                              deterministic=deterministic)
+                fused_x = blk(x, text, text_bias, deterministic)
                 text = self.text.layers[n_pre_text + (bi - n_pre_block)](
                     text, attn_mask=ext_mask, image_feats=img_tokens,
                     deterministic=deterministic)
@@ -204,8 +208,7 @@ class FusionSwinFPN(nn.Module):
         for bi, blk in enumerate(stage4.blocks):
             B, H, W, C4 = x.shape
             img_tokens = x.reshape(B, H * W, C4)
-            fused_x = blk(x, text=text, text_bias=text_bias,
-                          deterministic=deterministic)
+            fused_x = blk(x, text, text_bias, deterministic)
             if self.fusion_version == "v1":
                 proj = (self.cross_modal_image_transform2 if bi == 0
                         else self.cross_modal_image_transform3)

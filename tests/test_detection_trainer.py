@@ -52,6 +52,40 @@ def test_detection_train_step_descends():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_detection_remat_matches_no_remat():
+    """DetectorConfig.remat=True must not change the training math:
+    same loss and same grads (up to fp tolerance) as remat=False —
+    jax.checkpoint only changes WHEN activations are (re)computed."""
+    def loss_of(remat):
+        cfg = DetectorConfig.tiny_test(remat=remat, use_deform=True)
+        trainer = DetectionTrainer(cfg, base_lr=1e-3, lang_lr=1e-3,
+                                   max_iter=100, ema_decay=0.9,
+                                   warmup_iters=0, clip_norm=1.0)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        B, T = 2, cfg.max_query_len
+        H, W = cfg.image_size
+        batch = {
+            "images": jax.random.normal(jax.random.PRNGKey(1),
+                                        (B, H, W, 3)),
+            "input_ids": jnp.full((B, T), 3, jnp.int32),
+            "attention_mask": jnp.ones((B, T), jnp.int32),
+            "gt_boxes": jnp.array([[[4., 4., 30., 30.], [0.] * 4]] * B),
+            "gt_valid": jnp.array([[True, False]] * B),
+            "positive_map": jnp.zeros((B, 2, T)).at[:, 0, 1:3].set(1.0),
+        }
+        state, metrics = trainer.train_step(state, batch,
+                                            jax.random.PRNGKey(2))
+        return float(metrics["total_loss"]), state.params
+
+    loss_a, params_a = loss_of(False)
+    loss_b, params_b = loss_of(True)
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_detection_train_step_on_8_device_mesh():
     """Data-parallel detection training over the virtual mesh: batch
     sharded on `data`, params replicated, losses finite and identical

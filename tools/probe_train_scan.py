@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--scan", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--remat", type=int, default=1)
     args = ap.parse_args()
     B, R = args.batch, args.scan
 
@@ -41,6 +42,7 @@ def main():
 
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
                            swin_drop_path_rate=0.0,
+                           remat=bool(args.remat),
                            loss_names=("mlm", "itc", "itm"))
     trainer = CoarseTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
