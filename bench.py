@@ -314,8 +314,12 @@ def _pretrain_bench(batch: int = 8, scan: int = 4, reps: int = 3):
 
     batch = int(os.environ.get("FIBER_BENCH_TRAIN_BATCH", batch))
     scan = int(os.environ.get("FIBER_BENCH_TRAIN_SCAN", scan))
+    # remat off by default: B=8 at 384^2 fits v5e HBM without
+    # checkpointing, and skipping the block recompute is worth 15%
+    # (355.5 -> 301.3 ms/step, tools/probe_train_scan.py --remat 0)
+    remat = os.environ.get("FIBER_BENCH_TRAIN_REMAT", "0") != "0"
     cfg = FiberConfig.base(image_size=384, drop_rate=0.0,
-                           swin_drop_path_rate=0.0,
+                           swin_drop_path_rate=0.0, remat=remat,
                            loss_names=("mlm", "itc", "itm"))
     trainer = CoarseTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -361,18 +365,26 @@ def _pretrain_bench(batch: int = 8, scan: int = 4, reps: int = 3):
     }
 
 
-def _det_train_bench(batch: int = 2, reps: int = 3):
-    """Fine-grained (detection) pretrain step throughput: one
-    DetectionTrainer step at a bucket shape, vs the reference's
-    fine-pretrain scale (fine_grained/README.md:38-44: global batch 64 on
-    64 V100s = 1 img/GPU/step).  See BASELINE.md "detection training
-    baseline" for the derivation.
+def _det_train_bench(batch: int = 2, scan: int = 4, reps: int = 3):
+    """Fine-grained (detection) pretrain step throughput at a bucket
+    shape, vs the reference's fine-pretrain scale
+    (fine_grained/README.md:38-44: global batch 64 on 64 V100s =
+    1 img/GPU/step).  See BASELINE.md "detection training baseline" for
+    the derivation.
+
+    Timed as the production inner loop, same methodology as the det and
+    pretrain sections: `scan` per-step batches pre-staged on device and
+    consumed by ONE jit program (DetectionTrainer.train_steps_scan) with
+    params/opt in the scan carry, so the relay's per-dispatch marshaling
+    of the ~2000-leaf param tree is paid once per chain instead of once
+    per step.  Pinned against sequential train_step in
+    tests/test_detection_trainer.py.
 
     Default micro-batch 2: the fwd+bwd detection program's server-side
     first-execution compile grows steeply with B through the relay —
     B=4 exceeded a 25-minute timeout in round 5 while B=2 completes;
     throughput is reported per image so the comparison is unchanged.
-    Override with FIBER_BENCH_DET_TRAIN_BATCH."""
+    Override with FIBER_BENCH_DET_TRAIN_BATCH / _SCAN / _REMAT."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -381,7 +393,9 @@ def _det_train_bench(batch: int = 2, reps: int = 3):
     from fiber_tpu.train.detection_trainer import DetectionTrainer
 
     batch = int(os.environ.get("FIBER_BENCH_DET_TRAIN_BATCH", batch))
-    cfg = DetectorConfig(image_size=(800, 1344),
+    scan = int(os.environ.get("FIBER_BENCH_DET_TRAIN_SCAN", scan))
+    remat = os.environ.get("FIBER_BENCH_DET_TRAIN_REMAT", "0") != "0"
+    cfg = DetectorConfig(image_size=(800, 1344), remat=remat,
                          compute_dtype=jnp.bfloat16)
     trainer = DetectionTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -410,15 +424,24 @@ def _det_train_bench(batch: int = 2, reps: int = 3):
         "positive_map": jnp.asarray(pos_map),
     }
 
-    state, metrics = trainer.train_step(state, batch_d,
-                                        jax.random.PRNGKey(1))
-    float(metrics["total_loss"])        # compile + warm, host barrier
+    # `scan` per-step batches, pre-staged (distinct noise per step; the
+    # param carry already chains step r+1 on step r so nothing is elided)
+    R = scan
+    step_noise = jnp.asarray(
+        rng.standard_normal((R, 1, 1, 1, 1)) * 0.01, cfg.compute_dtype)
+    batches = {k: jnp.broadcast_to(v[None], (R,) + v.shape)
+               for k, v in batch_d.items()}
+    batches["images"] = batches["images"] + step_noise
+
+    state, losses = trainer.train_steps_scan(state, batches,
+                                             jax.random.PRNGKey(1))
+    float(losses[-1])                   # compile + warm, host barrier
     t0 = time.perf_counter()
     for r in range(reps):
-        state, metrics = trainer.train_step(state, batch_d,
-                                            jax.random.PRNGKey(2 + r))
-    loss = float(metrics["total_loss"])  # single fetch ends the chain
-    dt = (time.perf_counter() - t0) / reps
+        state, losses = trainer.train_steps_scan(state, batches,
+                                                 jax.random.PRNGKey(2 + r))
+    loss = float(losses[-1])             # single fetch ends the chain
+    dt = (time.perf_counter() - t0) / (reps * R)
 
     # BASELINE.md "detection-training baseline": 1 img/V100/step at
     # global batch 64 (fine_grained README.md:37-44), 6% assumed MFU ->
@@ -428,6 +451,8 @@ def _det_train_bench(batch: int = 2, reps: int = 3):
     return {
         "det_train_ex_per_s_per_chip": round(ex_per_s, 2),
         "det_train_micro_batch": B,
+        "det_train_scan_steps": R,
+        "det_train_remat": remat,
         "det_train_step_ms": round(dt * 1e3, 1),
         "det_train_loss_finite": bool(np.isfinite(loss)),
         "det_train_v100_baseline_ex_per_s": det_train_baseline,

@@ -198,6 +198,33 @@ class DetectionTrainer:
     def train_step(self, state: DetTrainState, batch, rng,
                    lr_scale: jax.Array = jnp.float32(1.0)
                    ) -> Tuple[DetTrainState, Dict[str, jax.Array]]:
+        return self._train_step_body(state, batch, rng, lr_scale)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_scan(self, state: DetTrainState, batches, rng):
+        """R chained steps in ONE program: `batches` carries a leading
+        steps axis; params/opt-state live in the scan carry so nothing
+        crosses the host between steps.  Same rationale as
+        CoarseTrainer.train_steps_scan (trainer.py): the reference's fit
+        loop dispatches one step per python iteration (tools/train_net.py
+        -> trainer.py do_train), which on a tunneled runtime re-marshals
+        the ~2000-leaf param tree every step; the scan form pays that
+        once per R steps, which is how a production input pipeline
+        (data/loader.py prefetch) actually feeds the chip.  Returns the
+        final state and the per-step total-loss vector.  Pinned against
+        sequential train_step in tests/test_detection_trainer.py."""
+        def body(carry, batch):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = self._train_step_body(st, batch, sub)
+            return (st, r), metrics["total_loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), batches)
+        return state, losses
+
+    def _train_step_body(self, state: DetTrainState, batch, rng,
+                         lr_scale: jax.Array = jnp.float32(1.0)
+                         ) -> Tuple[DetTrainState, Dict[str, jax.Array]]:
         def loss_fn(params):
             losses = detection_loss(self.model, {"params": params}, batch,
                                     rngs={"dropout": rng}, train=True)
